@@ -1,0 +1,310 @@
+package graft
+
+/** DuckDB oracle SQL for every oracle-checkable entry in
+  * [[graft.Queries]]. Each statement runs on the same sfDir parquets the
+  * Spark query reads (tables named by file stem) and must produce
+  * value-identical, identically-named, identically-ordered output.
+  *
+  * Engine-agnostic discipline: md5 for content hashing (identical hex in
+  * both engines), exact integer domains wherever possible, 6-decimal
+  * rounding for float aggregates, explicit ORDER BY everywhere, explicit
+  * BIGINT casts so Spark long == DuckDB BIGINT. Validated against DuckDB
+  * 1.0.0 in-sandbox.
+  */
+object OracleSql {
+
+  // --- shared fragments ----------------------------------------------------
+
+  /** Co-purchase edges: part↔part via shared l_orderkey, oriented src<dst. */
+  private val CP =
+    """SELECT l1.l_partkey AS src, l2.l_partkey AS dst, count(*) AS weight
+      |  FROM lineitem l1 JOIN lineitem l2
+      |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+      |  GROUP BY 1, 2""".stripMargin
+
+  /** Undirected view + vertices + degrees. */
+  private val UND =
+    s"""cp AS ($CP),
+       | e AS (SELECT src, dst FROM cp UNION SELECT dst, src FROM cp),
+       | v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+       | d AS (SELECT src AS id, count(*) AS outdeg FROM e GROUP BY 1)""".stripMargin
+
+  /** Lowercased alnum tokens per document. */
+  private val TOKS =
+    """toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts
+      |  FROM documents)""".stripMargin
+
+  /** Distinct word n-gram shingles (needs TOKS in scope). */
+  private def shCte(n: Int): String = {
+    val grams = (0 until n)
+      .map(d => if (d == 0) "ts[i]" else s"ts[i+$d]").mkString(" || ' ' || ")
+    s"""idx AS (
+       |  SELECT doc_id, ts, unnest(generate_series(1, CAST(len(ts) AS BIGINT) - ${n - 1})) AS i
+       |  FROM toks WHERE len(ts) >= $n),
+       | sh AS (SELECT DISTINCT doc_id, $grams AS shingle FROM idx)""".stripMargin
+  }
+
+  /** Pairwise shingle intersections + per-doc set sizes (needs sh). */
+  private val JaccTail =
+    """ inter AS (
+      |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      | sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)""".stripMargin
+
+  private def prRounds(k: Int): String = {
+    val rounds = (1 to k).map { i =>
+      s"""r$i AS (
+         |  SELECT v.id, 0.15 + 0.85 * coalesce(s.mass, 0.0) AS pr
+         |  FROM v LEFT JOIN (
+         |    SELECT e.dst AS id, sum(r.pr / d.outdeg) AS mass
+         |    FROM e JOIN r${i - 1} r ON e.src = r.id JOIN d ON e.src = d.id
+         |    GROUP BY e.dst) s ON v.id = s.id)""".stripMargin
+    }
+    ("r0 AS (SELECT id, 1.0 AS pr FROM v)" +: rounds).mkString(",\n ")
+  }
+
+  private def lpRounds(k: Int): String = {
+    val rounds = (1 to k).map { i =>
+      s"""b$i AS (
+         |  SELECT dst AS id, label AS newlabel FROM (
+         |    SELECT m.dst, m.label, row_number() OVER (PARTITION BY m.dst ORDER BY m.cnt DESC, m.label ASC) AS rn
+         |    FROM (SELECT e.dst, l.label, count(*) AS cnt FROM e JOIN l${i - 1} l ON e.src = l.id GROUP BY 1, 2) m) WHERE rn = 1),
+         | l$i AS (SELECT l.id, coalesce(b.newlabel, l.label) AS label FROM l${i - 1} l LEFT JOIN b$i b ON l.id = b.id)""".stripMargin
+    }
+    ("l0 AS (SELECT id, id AS label FROM v)" +: rounds).mkString(",\n ")
+  }
+
+  /** k rounds of min-plus relaxation from min(src); CASE instead of least()
+    * for engine-agnostic null handling.
+    */
+  private def relaxRounds(k: Int, weighted: Boolean): String = {
+    val w = if (weighted) "e.w" else "1.0"
+    val d0 = "d0 AS (SELECT v.id, CASE WHEN v.id = (SELECT min(src) FROM e) " +
+      "THEN 0.0 ELSE CAST(NULL AS DOUBLE) END AS dist FROM v)"
+    val rounds = (1 to k).map { i =>
+      s"""d$i AS (
+         |  SELECT p.id, CASE WHEN m.nd IS NULL THEN p.dist WHEN p.dist IS NULL OR m.nd < p.dist THEN m.nd ELSE p.dist END AS dist
+         |  FROM d${i - 1} p LEFT JOIN (
+         |    SELECT e.dst AS id, min(dd.dist + $w) AS nd
+         |    FROM e JOIN d${i - 1} dd ON e.src = dd.id WHERE dd.dist IS NOT NULL GROUP BY e.dst) m ON p.id = m.id)""".stripMargin
+    }
+    (d0 +: rounds).mkString(",\n ")
+  }
+
+  /** 16-bit md5 simhash: vote and bit-assembly expressions, fully
+    * parenthesized (engine precedence safety).
+    */
+  private val SimhashVotes: String = (0 until 16).map { b =>
+    val pos = b / 4 + 1
+    val shift = 3 - b % 4
+    s"sum(cnt * (2 * (((CAST(strpos('0123456789abcdef', substr(h, $pos, 1)) AS BIGINT) - 1) >> $shift) & 1) - 1)) AS v$b"
+  }.mkString(",\n    ")
+
+  private val SimhashBits: String =
+    (0 until 16).map(b => s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ")
+
+  private def jaccSelect(candJoin: String): String =
+    s"""SELECT doc1, doc2, jaccard FROM (
+       |  SELECT i.doc1, i.doc2, round(i.inter * 1.0 / (s1.n + s2.n - i.inter), 6) AS jaccard
+       |  FROM inter i $candJoin
+       |  JOIN sizes s1 ON i.doc1 = s1.doc_id JOIN sizes s2 ON i.doc2 = s2.doc_id)
+       |WHERE jaccard >= 0.5 ORDER BY doc1, doc2""".stripMargin
+
+  private val Stop = "'the','a','of','and','in','to','is','it','on','for'"
+
+  private val CosTail =
+    """ flat AS (SELECT v1, v2, unnest(ea) AS x, unnest(eb) AS y FROM pr),
+      | dots AS (SELECT v1, v2, sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot FROM flat GROUP BY 1, 2),
+      | norms AS (
+      |  SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+      |  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY 1)""".stripMargin
+
+  // --- the statements -------------------------------------------------------
+
+  val all: Map[String, String] = Map(
+    "g_copurchase" ->
+      s"WITH cp AS ($CP) SELECT src, dst, weight FROM cp ORDER BY src, dst",
+
+    "g_custpart" ->
+      """SELECT o.o_custkey AS src, l.l_partkey + 1000000000 AS dst, count(*) AS weight
+        |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "g_user_event" ->
+      """WITH dict AS (
+        |  SELECT event_type, -CAST(dense_rank() OVER (ORDER BY event_type) AS BIGINT) AS type_id
+        |  FROM (SELECT DISTINCT event_type FROM events))
+        |SELECT e.user_id AS src, d.type_id AS dst, count(*) AS weight
+        |FROM events e JOIN dict d USING (event_type)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "degrees" ->
+      s"""WITH cp AS ($CP),
+         | o AS (SELECT src AS id, count(*) AS outdeg FROM cp GROUP BY 1),
+         | i AS (SELECT dst AS id, count(*) AS indeg FROM cp GROUP BY 1)
+         |SELECT coalesce(o.id, i.id) AS id, coalesce(o.outdeg, 0) AS outdeg, coalesce(i.indeg, 0) AS indeg
+         |FROM o FULL OUTER JOIN i ON o.id = i.id ORDER BY id""".stripMargin,
+
+    "vertex_classes" ->
+      s"""WITH cp AS ($CP),
+         | o AS (SELECT src AS id, count(*) AS outdeg FROM cp GROUP BY 1),
+         | i AS (SELECT dst AS id, count(*) AS indeg FROM cp GROUP BY 1)
+         |SELECT p.p_partkey AS id, coalesce(o.outdeg, 0) AS outdeg, coalesce(i.indeg, 0) AS indeg,
+         | CASE WHEN coalesce(o.outdeg, 0) > 0 AND coalesce(i.indeg, 0) > 0 THEN 'regular'
+         |      WHEN coalesce(o.outdeg, 0) > 0 THEN 'source'
+         |      WHEN coalesce(i.indeg, 0) > 0 THEN 'sink' ELSE 'isolated' END AS vclass
+         |FROM part p LEFT JOIN o ON p.p_partkey = o.id LEFT JOIN i ON p.p_partkey = i.id
+         |ORDER BY id""".stripMargin,
+
+    "pr5" ->
+      s"WITH $UND,\n ${prRounds(5)}\nSELECT id, round(pr, 6) AS pr FROM r5 ORDER BY id",
+
+    "pr5_blocked" ->
+      s"WITH $UND,\n ${prRounds(5)}\nSELECT id, round(pr, 6) AS pr FROM r5 ORDER BY id",
+
+    "pr_top20" ->
+      s"WITH $UND,\n ${prRounds(5)}\nSELECT id, round(pr, 6) AS pr FROM r5 ORDER BY round(pr, 6) DESC, id LIMIT 20",
+
+    "cc" ->
+      s"""WITH RECURSIVE cp AS ($CP),
+         | cpf AS (SELECT src, dst FROM cp WHERE weight >= 2),
+         | e AS (SELECT src, dst FROM cpf UNION SELECT dst, src FROM cpf),
+         | reach AS (
+         |  SELECT src AS id, src AS lbl FROM e
+         |  UNION
+         |  SELECT e.dst AS id, r.lbl FROM reach r JOIN e ON r.id = e.src)
+         |SELECT id, min(lbl) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin,
+
+    "lp5" ->
+      s"WITH $UND,\n ${lpRounds(5)}\nSELECT id, label FROM l5 ORDER BY id",
+
+    "tc" ->
+      s"""WITH cp AS ($CP), e AS (SELECT src AS a, dst AS b FROM cp)
+         |SELECT CAST(count(*) AS BIGINT) AS triangles
+         |FROM e e1 JOIN e e2 ON e1.b = e2.a JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin,
+
+    "bfs5" ->
+      s"WITH $UND,\n ${relaxRounds(5, weighted = false)}\nSELECT id, dist FROM d5 WHERE dist IS NOT NULL ORDER BY id",
+
+    "sssp5" ->
+      s"""WITH cp AS ($CP),
+         | ew AS (SELECT src, dst, CAST(weight AS DOUBLE) AS w FROM cp UNION ALL SELECT dst, src, CAST(weight AS DOUBLE) FROM cp),
+         | e AS (SELECT src, dst, w FROM ew),
+         | v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         | ${relaxRounds(5, weighted = true)}
+         |SELECT id, dist FROM d5 WHERE dist IS NOT NULL ORDER BY id""".stripMargin,
+
+    "dedup_exact" ->
+      "SELECT min(doc_id) AS keep_id, count(*) AS dup_cnt FROM documents GROUP BY text ORDER BY keep_id",
+
+    "dedup_jaccard3" ->
+      s"WITH $TOKS,\n ${shCte(3)},\n$JaccTail\n${jaccSelect("")}",
+
+    "dedup_minhash" ->
+      s"""WITH $TOKS,
+         | ${shCte(3)},
+         | mh AS (
+         |  SELECT doc_id, t.i AS i, min(md5(CAST(t.i AS VARCHAR) || ':' || shingle)) AS h
+         |  FROM sh, unnest(generate_series(0, 15)) AS t(i) GROUP BY doc_id, t.i),
+         | cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+         |  FROM mh a JOIN mh b ON a.i = b.i AND a.h = b.h AND a.doc_id < b.doc_id),
+         |$JaccTail
+         |${jaccSelect("JOIN cand c ON i.doc1 = c.doc1 AND i.doc2 = c.doc2")}""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH $TOKS,
+         | ${shCte(3)},
+         | tok AS (
+         |  SELECT doc_id, tok, count(*) AS cnt, md5(tok) AS h FROM (
+         |    SELECT doc_id, unnest(ts) AS tok FROM toks) GROUP BY doc_id, tok),
+         | votes AS (
+         |  SELECT doc_id,
+         |    $SimhashVotes
+         |  FROM tok GROUP BY doc_id),
+         | s AS (SELECT doc_id, $SimhashBits AS simhash FROM votes),
+         | cand AS (
+         |  SELECT a.doc_id AS doc1, b.doc_id AS doc2
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |$JaccTail
+         |${jaccSelect("JOIN cand c ON i.doc1 = c.doc1 AND i.doc2 = c.doc2")}""".stripMargin,
+
+    "text_stats" ->
+      s"""WITH $TOKS,
+         | base AS (
+         |  SELECT d.doc_id,
+         |    CAST(length(d.text) AS BIGINT) AS n_chars_m,
+         |    CAST(len(t.ts) AS BIGINT) AS n_tokens,
+         |    CAST(len(regexp_extract_all(d.text, '[^a-zA-Z0-9\\s]', 0)) AS BIGINT) AS n_punct,
+         |    CAST(len(list_filter(t.ts, x -> list_contains([$Stop], x))) AS BIGINT) AS n_stopwords
+         |  FROM documents d JOIN toks t ON d.doc_id = t.doc_id),
+         | ratios AS (
+         |  SELECT doc_id, n_chars_m, n_tokens, n_punct, n_stopwords,
+         |    coalesce(round(n_punct * 1.0 / nullif(n_chars_m, 0), 6), 0.0) AS punct_ratio,
+         |    coalesce(round(n_stopwords * 1.0 / nullif(n_tokens, 0), 6), 0.0) AS stopword_ratio
+         |  FROM base)
+         |SELECT doc_id, n_chars_m, n_tokens, n_punct, n_stopwords, punct_ratio, stopword_ratio,
+         |  round(least(1.0, n_tokens / 100.0) * (1.0 - punct_ratio), 6) AS quality_score
+         |FROM ratios ORDER BY doc_id""".stripMargin,
+
+    "lang_id" ->
+      s"""WITH $TOKS,
+         | sc AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(ts, x -> list_contains(['der','die','das','und','ist','nicht','ein'], x))) AS BIGINT) AS s_de,
+         |    CAST(len(list_filter(ts, x -> list_contains(['the','a','of','and','in','to','is'], x))) AS BIGINT) AS s_en,
+         |    CAST(len(list_filter(ts, x -> list_contains(['el','los','las','y','es','una','que'], x))) AS BIGINT) AS s_es,
+         |    CAST(len(list_filter(ts, x -> list_contains(['le','la','et','les','des','est','un'], x))) AS BIGINT) AS s_fr
+         |  FROM toks)
+         |SELECT doc_id, s_de, s_en, s_es, s_fr,
+         |  CASE WHEN s_de >= greatest(s_en, s_es, s_fr) AND s_de > 0 THEN 'de'
+         |       WHEN s_en >= greatest(s_es, s_fr) AND s_en > 0 THEN 'en'
+         |       WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+         |       WHEN s_fr > 0 THEN 'fr' ELSE 'und' END AS pred_lang
+         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]', 0)) AS BIGINT) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "doc_fingerprint" ->
+      s"""WITH $TOKS,
+         | ${shCte(4)}
+         |SELECT doc_id, array_to_string(list_sort(list(md5(shingle)))[1:4], ',') AS fingerprint
+         |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(substr(text, 1, 64))) AS BIGINT) AS payload_bytes,
+        |  md5(substr(text, 1, 64)) AS payload_md5,
+        |  CAST(floor(octet_length(encode(substr(text, 1, 64))) / 16.0) AS BIGINT) + 1 AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "embed_neardup" ->
+      s"""WITH pr AS (
+         |  SELECT a.vec_id AS v1, b.vec_id AS v2, a.embedding AS ea, b.embedding AS eb
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+         |$CosTail
+         |SELECT v1, v2, cos FROM (
+         |  SELECT d.v1, d.v2, round(d.dot / (n1.nrm * n2.nrm), 6) AS cos
+         |  FROM dots d JOIN norms n1 ON d.v1 = n1.vec_id JOIN norms n2 ON d.v2 = n2.vec_id)
+         |WHERE cos >= 0.4 ORDER BY v1, v2""".stripMargin,
+
+    "ann_top5" ->
+      s"""WITH pr AS (
+         |  SELECT a.vec_id AS v1, b.vec_id AS v2, a.embedding AS ea, b.embedding AS eb
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < 20 AND a.vec_id <> b.vec_id),
+         |$CosTail
+         |SELECT query_id, neighbor_id, rk, cos FROM (
+         |  SELECT d.v1 AS query_id, d.v2 AS neighbor_id,
+         |    round(d.dot / (n1.nrm * n2.nrm), 6) AS cos,
+         |    CAST(row_number() OVER (PARTITION BY d.v1 ORDER BY round(d.dot / (n1.nrm * n2.nrm), 6) DESC, d.v2 ASC) AS BIGINT) AS rk
+         |  FROM dots d JOIN norms n1 ON d.v1 = n1.vec_id JOIN norms n2 ON d.v2 = n2.vec_id)
+         |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+  )
+}

@@ -1,0 +1,196 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.algos.{ConnectedComponents, LabelPropagation, PageRank, Paths, TriangleCount}
+import graft.ann.Similarity
+import graft.dedup.Dedup
+import graft.engine.SuperstepConfig
+import graft.graph.{GraphOps, TestGraphs}
+import graft.multimodal.Multimodal
+import graft.text.TextOps
+
+/** The engine's operator surface wired over the driver's testdata parquets
+  * (one entry per operator family, SURVEY.md §2). Each oracle-checked query
+  * mirrors its [[OracleSql]] statement value-for-value: identical column
+  * names, identical ordering, identical rounding.
+  */
+object Queries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    TestGraphs.table(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    TestGraphs.table(s, dir, "embeddings")
+
+  private def und(s: SparkSession, dir: String): DataFrame =
+    TestGraphs.copurchaseUndirected(s, dir)
+
+  private def cfg(s: SparkSession): SuperstepConfig = SuperstepConfig(
+    numPartitions = s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+
+  /** Blocked-kernel PR (CSR EdgeBlocks, SURVEY.md §2.2 G6): same trajectory
+    * as [[PageRank.fixedIterations]] — outdeg is the packed adjacency
+    * length — so it shares pr5's oracle.
+    */
+  private def prBlocked(e: DataFrame, k: Int, numBlocks: Int): DataFrame = {
+    val verts = GraphOps.vertices(e)
+    val blocks = GraphOps.edgeBlocks(e, numBlocks).toDF()
+    var rank = verts.select(col("id"), lit(1.0).as("rank"))
+    for (_ <- 1 to k) {
+      val msgs = blocks.join(rank.withColumnRenamed("id", "src"), "src")
+        .select(explode(col("dsts")).as("id"),
+          (col("rank") / size(col("dsts"))).as("m"))
+        .groupBy("id").agg(sum(col("m")).as("mass"))
+      rank = verts.join(msgs, Seq("id"), "left_outer")
+        .select(col("id"), (lit(0.15) +
+          lit(0.85) * coalesce(col("mass"), lit(0.0))).as("rank"))
+    }
+    rank
+  }
+
+  val oracleChecked: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- graph derivation (G8 analogs) -----------------------------------
+    "g_copurchase" -> ((s, dir) =>
+      TestGraphs.copurchase(s, dir).orderBy("src", "dst")),
+
+    "g_custpart" -> ((s, dir) =>
+      TestGraphs.custPart(s, dir).orderBy("src", "dst")),
+
+    "g_user_event" -> ((s, dir) =>
+      TestGraphs.userEvent(s, dir).orderBy("src", "dst")),
+
+    // --- degrees / classification (G3, G4) --------------------------------
+    "degrees" -> ((s, dir) => {
+      val cp = TestGraphs.copurchase(s, dir)
+      GraphOps.outDegrees(cp).join(GraphOps.inDegrees(cp), Seq("id"),
+          "full_outer")
+        .select(col("id"), coalesce(col("outdeg"), lit(0L)).as("outdeg"),
+          coalesce(col("indeg"), lit(0L)).as("indeg"))
+        .orderBy("id")
+    }),
+
+    "vertex_classes" -> ((s, dir) => {
+      val cp = TestGraphs.copurchase(s, dir)
+      val universe = TestGraphs.table(s, dir, "part")
+        .select(col("p_partkey").as("id"))
+      GraphOps.classify(cp, universe)
+        .withColumnRenamed("class", "vclass")
+        .orderBy("id")
+    }),
+
+    // --- PageRank (A1): flat kernel, blocked kernel, top-k ---------------
+    "pr5" -> ((s, dir) =>
+      PageRank.fixedIterations(und(s, dir), 5)
+        .select(col("id"), round(col("rank"), 6).as("pr"))
+        .orderBy("id")),
+
+    "pr5_blocked" -> ((s, dir) =>
+      prBlocked(und(s, dir), 5,
+        s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+        .select(col("id"), round(col("rank"), 6).as("pr"))
+        .orderBy("id")),
+
+    "pr_top20" -> ((s, dir) =>
+      PageRank.fixedIterations(und(s, dir), 5)
+        .select(col("id"), round(col("rank"), 6).as("pr"))
+        .orderBy(col("pr").desc, col("id"))
+        .limit(20)),
+
+    // --- connected components (A2): converged, exact ---------------------
+    "cc" -> ((s, dir) => {
+      val cpf = TestGraphs.copurchase(s, dir)
+        .where(col("weight") >= 2).select("src", "dst")
+      ConnectedComponents.run(s, cpf, cfg(s)).state.orderBy("id")
+    }),
+
+    // --- label propagation (A3): 5 synchronous rounds --------------------
+    "lp5" -> ((s, dir) =>
+      LabelPropagation.fixedRounds(und(s, dir), 5).orderBy("id")),
+
+    // --- triangle count (A4) ----------------------------------------------
+    "tc" -> ((s, dir) =>
+      TriangleCount.count(TestGraphs.copurchase(s, dir))),
+
+    // --- BFS / SSSP (A5): 5 unrolled min-plus rounds ----------------------
+    "bfs5" -> ((s, dir) => {
+      val e = und(s, dir)
+      Paths.fixedRounds(e, e.agg(min(col("src"))), 5, weighted = false)
+        .where(col("dist").isNotNull).orderBy("id")
+    }),
+
+    "sssp5" -> ((s, dir) => {
+      val cp = TestGraphs.copurchase(s, dir)
+      val ew = cp.select(col("src"), col("dst"),
+          col("weight").cast("double").as("weight"))
+        .union(cp.select(col("dst"), col("src"),
+          col("weight").cast("double")))
+      Paths.fixedRounds(ew, ew.select(col("src")).agg(min(col("src"))), 5,
+          weighted = true)
+        .where(col("dist").isNotNull).orderBy("id")
+    }),
+
+    // --- training-data pipeline: dedup family -----------------------------
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(docs(s, dir)).orderBy("keep_id")),
+
+    "dedup_jaccard3" -> ((s, dir) =>
+      Dedup.jaccardPairs(docs(s, dir), 3, 0.5).orderBy("doc1", "doc2")),
+
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashLsh(docs(s, dir), 3, 16, 0.5).orderBy("doc1", "doc2")),
+
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(docs(s, dir), 3, 3, 0.5).orderBy("doc1", "doc2")),
+
+    // --- text analysis -----------------------------------------------------
+    "text_stats" -> ((s, dir) =>
+      TextOps.textStats(docs(s, dir)).orderBy("doc_id")),
+
+    "lang_id" -> ((s, dir) =>
+      TextOps.langId(docs(s, dir)).orderBy("doc_id")),
+
+    "token_count" -> ((s, dir) =>
+      TextOps.tokenCounts(docs(s, dir)).orderBy("doc_id")),
+
+    "doc_fingerprint" -> ((s, dir) =>
+      TextOps.fingerprint(docs(s, dir)).orderBy("doc_id")),
+
+    // --- multimodal plumbing ----------------------------------------------
+    "multimodal_meta" -> ((s, dir) =>
+      Multimodal.payloadMeta(docs(s, dir)).orderBy("doc_id")),
+
+    // --- similarity search -------------------------------------------------
+    "embed_neardup" -> ((s, dir) =>
+      Similarity.nearDupPairs(emb(s, dir), 0.4).orderBy("v1", "v2")),
+
+    "ann_top5" -> ((s, dir) =>
+      Similarity.topK(emb(s, dir).where(col("vec_id") < 20), emb(s, dir), 5)
+        .select("query_id", "neighbor_id", "rk", "cos")
+        .orderBy("query_id", "rk"))
+  )
+
+  /** Queries with no SQL-expressible oracle (convergence-driven engine runs
+    * and xxhash64-based scale paths) — driver records rows-only checks.
+    */
+  val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // full engine path: computation filtering + frontier + checkpointless
+    "pr_converged" -> ((s, dir) =>
+      PageRank.runFiltered(s, TestGraphs.copurchase(s, dir),
+        cfg(s).copy(tol = 1e-6, maxIter = 60)).state.orderBy("id")),
+
+    // LSH-bucketed ANN (recall<1 by design — rows-only)
+    "ann_lsh_top5" -> ((s, dir) =>
+      Similarity.annTopK(emb(s, dir), 8, 5)
+        .select("query_id", "neighbor_id", "rk", "cos")
+        .orderBy("query_id", "rk")),
+
+    // production minhash banding (xxhash64 — not reproducible in DuckDB)
+    "minhash_buckets_xx" -> ((s, dir) =>
+      Dedup.minhashBucketsXx(docs(s, dir), 3, 8, 2)
+        .orderBy("doc_id", "band"))
+  )
+
+  val all: Map[String, (SparkSession, String) => DataFrame] =
+    oracleChecked ++ rowsOnly
+}

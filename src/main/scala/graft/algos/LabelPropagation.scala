@@ -1,0 +1,61 @@
+package graft.algos
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.graph.GraphOps
+
+/** Synchronous label propagation (SURVEY.md §2.4 A3, §5.3): label₀ = id;
+  * each round every vertex adopts the MODE of its in-neighbors' labels,
+  * ties broken toward the smallest label; a vertex with no in-neighbors
+  * keeps its label. The mode-with-tiebreak ⊕ doesn't fit a single built-in
+  * aggregate, so LP runs a two-level aggregation instead of the
+  * [[graft.engine.Superstep]] kernel (SURVEY.md §2.6): groupBy(dst, label)
+  * count, then max_by(label, (count, -label)) — deterministic, which is
+  * what makes the exact-match gate achievable.
+  */
+object LabelPropagation {
+
+  /** One synchronous round. */
+  private def round(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val msgs = edges.join(labels.withColumnRenamed("id", "src"), "src")
+      .groupBy(col("dst"), col("label"))
+      .agg(count(lit(1)).as("cnt"))
+    val best = msgs.groupBy(col("dst").as("id"))
+      .agg(max_by(col("label"),
+        struct(col("cnt"), (-col("label")).as("nl"))).as("newlabel"))
+    labels.join(best, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("newlabel"), col("label")).as("label"))
+  }
+
+  /** Lazily-composed fixed-k rounds (no actions) — oracle-checked path. */
+  def fixedRounds(edges: DataFrame, k: Int): DataFrame = {
+    val e = edges.select("src", "dst")
+    var labels = GraphOps.vertices(e).select(col("id"), col("id").as("label"))
+    for (_ <- 1 to k) labels = round(e, labels)
+    labels
+  }
+
+  /** Materializing variant: runs up to maxRounds, stops early when no label
+    * changes; lineage truncated per round. Output: (id, label), rounds run.
+    */
+  def run(spark: SparkSession, edges: DataFrame, maxRounds: Int = 50,
+          numPartitions: Int = 32): (DataFrame, Int) = {
+    val e = edges.select("src", "dst")
+      .repartition(numPartitions, col("src")).localCheckpoint(true)
+    var labels = GraphOps.vertices(e)
+      .select(col("id"), col("id").as("label"))
+      .repartition(numPartitions, col("id")).localCheckpoint(true)
+    var r = 0
+    var done = false
+    while (r < maxRounds && !done) {
+      val next = round(e, labels).localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .where(col("label") =!= col("old")).limit(1).count()
+      labels = next
+      r += 1
+      done = changed == 0
+    }
+    (labels, r)
+  }
+}

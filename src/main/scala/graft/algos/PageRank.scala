@@ -1,0 +1,141 @@
+package graft.algos
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Superstep, SuperstepConfig, SuperstepResult, VertexProgram}
+import graft.graph.GraphOps
+
+/** PageRank with LA3's pinned semantics (SURVEY.md §5.3): r₀ = 1.0,
+  * r' = 0.15 + 0.85·Σ_{u→v} r(u)/outdeg(u), NO dangling-mass
+  * redistribution (sinks receive, never scatter — LA3 computation
+  * filtering, PAPER §5.1), converged at L∞ < tol, unnormalized.
+  */
+object PageRank {
+  val Damping = 0.85
+  val Teleport = 0.15
+
+  /** The vertex program: state (id, rank, outdeg, cvec) where cvec is the
+    * folded constant source contribution (0 for the unfiltered variant).
+    */
+  private final class PrProgram(tol: Double) extends VertexProgram {
+    val name = "pagerank"
+    def initState(vertices: DataFrame): DataFrame =
+      vertices.select(col("id"), lit(1.0).as("rank"),
+        coalesce(col("outdeg"), lit(0L)).as("outdeg"),
+        col("cvec"))
+    // Sinks have outdeg 0 but are never joined as src (no out edges), so
+    // the division is safe on every gathered row.
+    def gatherExpr: Column = col("rank") / col("outdeg")
+    def combineExpr(msg: Column): Column = sum(msg)
+    def applyState(state: DataFrame, msgs: DataFrame): DataFrame =
+      state.join(msgs, Seq("id"), "left_outer")
+        .select(col("id"),
+          (lit(Teleport) + col("cvec") +
+            lit(Damping) * coalesce(col("agg"), lit(0.0))).as("rank"),
+          col("outdeg"), col("cvec"), col("rank").as("oldRank"))
+        .withColumn("delta", abs(col("rank") - col("oldRank")))
+        .withColumn("changed", col("delta") > lit(tol))
+        .drop("oldRank")
+    val isStationary = true
+    override def residualExpr: Option[Column] = Some(col("delta"))
+  }
+
+  /** Converged PR over the full graph (no class split). Vertices = edge
+    * endpoints unless an explicit universe is given.
+    */
+  def run(spark: SparkSession, edges: DataFrame, cfg: SuperstepConfig,
+          resume: Boolean = false): SuperstepResult = {
+    val e = edges.select("src", "dst")
+    val verts = GraphOps.vertices(e)
+      .join(GraphOps.outDegrees(e), Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
+      .withColumn("cvec", lit(0.0))
+    val r = Superstep.run(spark, e, verts, new PrProgram(cfg.tol), cfg, resume)
+    r.copy(state = r.state.select("id", "rank"))
+  }
+
+  /** Converged PR with LA3 computation filtering (SURVEY.md §2.3 C7):
+    * sources (indeg 0) are fixed at rank = 0.15 and folded into a constant
+    * contribution vector; the loop iterates only the regular×regular
+    * sub-graph; sinks are applied once post-loop. On web-shaped graphs with
+    * 30%+ sources/sinks this shrinks every superstep's join and shuffle by
+    * that fraction (PAPER §5.1's headline optimization).
+    */
+  def runFiltered(spark: SparkSession, edges: DataFrame,
+                  cfg: SuperstepConfig,
+                  resume: Boolean = false): SuperstepResult = {
+    val e = edges.select("src", "dst")
+    val classes = GraphOps.classify(e, GraphOps.vertices(e))
+      .localCheckpoint(true) // reused by 4 sub-plans below
+    val srcIds = classes.where(col("class") === "source").select("id")
+    val sinkIds = classes.where(col("class") === "sink").select("id")
+    val regular = classes.where(col("class") === "regular")
+
+    // Constant vector: mass every superstep from fixed-rank sources,
+    // 0.85 * Σ_{u∈source, u→v} 0.15/outdeg(u), landing on regular or sink v.
+    val srcOut = classes.where(col("class") === "source")
+      .select(col("id").as("src"), col("outdeg").as("srcOutdeg"))
+    val cvecAll = e.join(srcOut, "src")
+      .groupBy(col("dst").as("id"))
+      .agg((lit(Damping) * sum(lit(Teleport) / col("srcOutdeg"))).as("cvec"))
+
+    // Regular×regular edges: src not source, dst not sink.
+    val eRR = e.join(srcIds.withColumnRenamed("id", "src"), Seq("src"),
+        "left_anti")
+      .join(sinkIds.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
+      .select("src", "dst")
+
+    val verts = regular.select("id", "outdeg")
+      .join(cvecAll, Seq("id"), "left_outer")
+      .select(col("id"), col("outdeg"),
+        coalesce(col("cvec"), lit(0.0)).as("cvec"))
+
+    val loop = Superstep.run(spark, eRR, verts, new PrProgram(cfg.tol), cfg,
+      resume)
+
+    // Post-loop: sinks applied once; sources fixed at 0.15.
+    val regRanks = loop.state.select("id", "rank", "outdeg")
+    val regScatter = regRanks
+      .select(col("id").as("src"), (col("rank") / col("outdeg")).as("contrib"))
+    val sinkMass = e.join(sinkIds.withColumnRenamed("id", "dst"), Seq("dst"))
+      .join(regScatter, Seq("src"))
+      .groupBy(col("dst").as("id"))
+      .agg(sum(col("contrib")).as("mass"))
+    val sinkRanks = sinkIds
+      .join(cvecAll, Seq("id"), "left_outer")
+      .join(sinkMass, Seq("id"), "left_outer")
+      .select(col("id"),
+        (lit(Teleport) + coalesce(col("cvec"), lit(0.0)) +
+          lit(Damping) * coalesce(col("mass"), lit(0.0))).as("rank"))
+    val srcRanks = srcIds.select(col("id"), lit(Teleport).as("rank"))
+    val isoRanks = classes.where(col("class") === "isolated")
+      .select(col("id"), lit(Teleport).as("rank"))
+
+    val all = regRanks.select("id", "rank")
+      .unionByName(sinkRanks).unionByName(srcRanks).unionByName(isoRanks)
+    loop.copy(state = all)
+  }
+
+  /** Lazily-composed fixed-k iteration plan (no actions) — the
+    * oracle-checked query path; trajectory matches the unrolled DuckDB SQL
+    * exactly. Vertices = edge endpoints.
+    */
+  def fixedIterations(edges: DataFrame, k: Int): DataFrame = {
+    val e = edges.select("src", "dst")
+    val out = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val verts = GraphOps.vertices(e)
+    val eDeg = e.join(out, "src")
+    var rank = verts.select(col("id"), lit(1.0).as("rank"))
+    for (_ <- 1 to k) {
+      val msgs = eDeg.join(rank.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), (col("rank") / col("outdeg")).as("m"))
+        .groupBy("id").agg(sum(col("m")).as("mass"))
+      rank = verts.join(msgs, Seq("id"), "left_outer")
+        .select(col("id"),
+          (lit(Teleport) +
+            lit(Damping) * coalesce(col("mass"), lit(0.0))).as("rank"))
+    }
+    rank
+  }
+}

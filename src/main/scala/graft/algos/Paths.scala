@@ -1,0 +1,68 @@
+package graft.algos
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Superstep, SuperstepConfig, SuperstepResult, VertexProgram}
+import graft.graph.GraphOps
+
+/** BFS and SSSP (SURVEY.md §2.4 A5) — the min-plus semiring on the same
+  * superstep kernel as CC; non-stationary frontier = vertices whose
+  * distance improved. Integer weights ⇒ exact results.
+  */
+object Paths {
+
+  private final class MinPlusProgram(sourceId: Long) extends VertexProgram {
+    val name = "sssp"
+    def initState(vertices: DataFrame): DataFrame =
+      vertices.select(col("id"),
+        when(col("id") === lit(sourceId), lit(0.0)).otherwise(lit(null)
+          .cast("double")).as("dist"))
+    def gatherExpr: Column = col("dist") + col("weight")
+    def combineExpr(msg: Column): Column = min(msg)
+    def applyState(state: DataFrame, msgs: DataFrame): DataFrame =
+      state.join(msgs, Seq("id"), "left_outer")
+        .select(col("id"), least(col("dist"), col("agg")).as("dist"),
+          (col("agg").isNotNull &&
+            (col("dist").isNull || col("agg") < col("dist"))).as("changed"))
+    val isStationary = false
+  }
+
+  /** Converged single-source shortest paths. `edges` needs (src, dst
+    * [, weight]); missing weight = 1.0 (BFS). Unreached vertices keep null.
+    */
+  def sssp(spark: SparkSession, edges: DataFrame, sourceId: Long,
+           cfg: SuperstepConfig, resume: Boolean = false): SuperstepResult = {
+    val verts = GraphOps.vertices(edges.select("src", "dst"))
+    Superstep.run(spark, edges, verts, new MinPlusProgram(sourceId),
+      cfg.copy(tol = 0.0), resume)
+  }
+
+  /** Lazily-composed k rounds of min-plus relaxation (Bellman-Ford unrolled
+    * — distance over paths of ≤ k edges). Matches the unrolled DuckDB SQL
+    * exactly; weights must be integral for the exact gate. The source is a
+    * one-row DataFrame (e.g. min vertex id) cross-joined in, keeping the
+    * whole plan lazy.
+    */
+  def fixedRounds(edges: DataFrame, source: DataFrame, k: Int,
+                  weighted: Boolean): DataFrame = {
+    val e =
+      if (weighted) edges.select(col("src"), col("dst"),
+        col("weight").cast("double"))
+      else edges.select(col("src"), col("dst"), lit(1.0).as("weight"))
+    val verts = GraphOps.vertices(e)
+    var dist = verts.crossJoin(broadcast(source.toDF("s0")))
+      .select(col("id"),
+        when(col("id") === col("s0"), lit(0.0))
+          .otherwise(lit(null).cast("double")).as("dist"))
+    for (_ <- 1 to k) {
+      val msgs = e.join(dist.where(col("dist").isNotNull)
+          .withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), (col("dist") + col("weight")).as("nd"))
+        .groupBy("id").agg(min(col("nd")).as("nd"))
+      dist = dist.join(msgs, Seq("id"), "left_outer")
+        .select(col("id"), least(col("dist"), col("nd")).as("dist"))
+    }
+    dist
+  }
+}

@@ -1,0 +1,102 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (array<float>): brute-force
+  * cosine top-k as the correctness baseline, plus an LSH-bucketed variant
+  * (random-hyperplane signs) as the scale path. All arithmetic is done in
+  * double via codegen'd higher-order functions (zip_with / aggregate) — no
+  * UDFs (SURVEY.md-style functions-first discipline).
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ in double, sequential array-order fold (deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** All pairs (v1 < v2) with 6-decimal-rounded cosine ≥ threshold —
+    * embedding near-dup detection. Brute force: O(n²) pairs; callers at
+    * scale should bucket first (see [[lshBuckets]]).
+    */
+  def nearDupPairs(emb: DataFrame, threshold: Double,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val a = emb.select(col(idCol).as("v1"), col(vecCol).as("ea"))
+    val b = emb.select(col(idCol).as("v2"), col(vecCol).as("eb"))
+    a.join(b, col("v1") < col("v2"))
+      .select(col("v1"), col("v2"),
+        round(cosine(col("ea"), col("eb")), 6).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
+  /** Brute-force cosine top-k neighbors for each query vector. Output:
+    * (query_id, neighbor_id, rk, cos); ranking on the rounded cosine with
+    * id tie-break (deterministic across engines).
+    */
+  def topK(queries: DataFrame, corpus: DataFrame, k: Int,
+           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+  }
+
+  /** Random-hyperplane LSH signature: `bits` sign bits, hyperplane b
+    * component i = centered hash of (b, i) — deterministic, no RNG state
+    * (Date/Random are banned for resumability). Vectors sharing a bucket
+    * are near-cosine candidates; probing neighboring buckets (hamming ≤ 1)
+    * gives the recall knob. This is the 100 TB path: candidate generation
+    * is bucket-local, never corpus-quadratic.
+    */
+  def lshBuckets(emb: DataFrame, bits: Int, idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    val sig = (0 until bits).map { b =>
+      // pseudo-random ±weights per (plane b, dim i) from a hash; the
+      // projection is Σ_i w(b,i)·v_i with w ∈ {-1, +1}
+      val proj = aggregate(
+        zip_with(col(vecCol),
+          transform(sequence(lit(0), size(col(vecCol)) - 1),
+            i => when(pmod(xxhash64(lit(b), i), lit(2)) === 0, lit(1.0))
+              .otherwise(lit(-1.0))),
+          (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    emb.select(col(idCol), sig.as("bucket"))
+  }
+
+  /** ANN top-k via LSH buckets: candidates share a bucket; exact cosine +
+    * rank inside the bucket. Recall < 1 by construction — this is the
+    * throughput-oriented variant; [[topK]] is the exact baseline.
+    */
+  def annTopK(emb: DataFrame, bits: Int, k: Int, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val withBucket = emb.join(lshBuckets(emb, bits, idCol, vecCol), idCol)
+    val a = withBucket.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      col("bucket"))
+    val b = withBucket.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"), col("bucket"))
+    val scored = a.join(b, Seq("bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+  }
+}

@@ -1,0 +1,162 @@
+package graft.graph
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Canonical edge row. Directed; `weight` defaults to 1 for unweighted
+  * graphs. Mirrors LA3's edge triple (SURVEY.md §1.1) with 64-bit ids.
+  */
+final case class Edge(src: Long, dst: Long, weight: Double)
+
+/** Packed CSR edge block — our analog of LA3's CSC tiles (SURVEY.md §2.2
+  * G5/G6). One row per (blockId, src): the full adjacency of `src` as packed
+  * arrays kept in Tungsten format. Built once, reused every superstep.
+  */
+final case class EdgeBlock(blockId: Int, src: Long,
+                           dsts: Array[Long], weights: Array[Double])
+
+/** G1–G7: graph construction / partitioning operators (SURVEY.md §2.2).
+  * All pure DataFrame transformations — lazily composable, no actions.
+  */
+object GraphOps {
+
+  /** G1 — dedup + self-loop policy. */
+  def simplify(edges: DataFrame, dropSelfLoops: Boolean = true): DataFrame = {
+    val e = edges.select("src", "dst").distinct()
+    if (dropSelfLoops) e.where(col("src") =!= col("dst")) else e
+  }
+
+  /** §2.8 — undirected view: both directions present, deduped. */
+  def symmetrize(edges: DataFrame): DataFrame = {
+    val e = edges.select("src", "dst")
+    e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+  }
+
+  /** Orient each undirected edge as (min, max); drops self loops. Input may
+    * be directed or undirected; output is the canonical simple oriented
+    * edge set used by triangle counting (SURVEY.md §2.4 A4).
+    */
+  def orient(edges: DataFrame): DataFrame =
+    edges.select(least(col("src"), col("dst")).as("src"),
+                 greatest(col("src"), col("dst")).as("dst"))
+      .where(col("src") < col("dst"))
+      .distinct()
+
+  /** G3 — out-degrees (hash agg, partial+final = LA3's local-then-row
+    * reduce). Columns: id, outdeg.
+    */
+  def outDegrees(edges: DataFrame): DataFrame =
+    edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
+
+  def inDegrees(edges: DataFrame): DataFrame =
+    edges.groupBy(col("dst").as("id")).agg(count(lit(1)).as("indeg"))
+
+  /** G4 — vertex classification into regular / source / sink / isolated
+    * (LA3 computation filtering, PAPER §5.1). `vertices` is the vertex
+    * universe (single column `id`); vertices with no edges are `isolated`.
+    */
+  def classify(edges: DataFrame, vertices: DataFrame): DataFrame = {
+    val od = outDegrees(edges)
+    val id = inDegrees(edges)
+    vertices.select("id")
+      .join(od, Seq("id"), "left_outer")
+      .join(id, Seq("id"), "left_outer")
+      .select(col("id"),
+        coalesce(col("outdeg"), lit(0L)).as("outdeg"),
+        coalesce(col("indeg"), lit(0L)).as("indeg"))
+      .withColumn("class",
+        when(col("outdeg") > 0 && col("indeg") > 0, "regular")
+          .when(col("outdeg") > 0, "source")
+          .when(col("indeg") > 0, "sink")
+          .otherwise("isolated"))
+  }
+
+  /** Vertex universe of an edge table: distinct endpoints, column `id`. */
+  def vertices(edges: DataFrame): DataFrame =
+    edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+
+  /** G2 — dense id assignment 0..V-1 by global sort order, scale-safe:
+    * range-repartition + in-partition sort, per-partition counts collected
+    * once (tiny), then offset + local rank inside `mapPartitions`. The
+    * assignment equals the global rank regardless of where the range
+    * sampler placed partition bounds, so it is deterministic (SURVEY.md
+    * §2.2 G2). Input: one string column `key`; output: (key, id).
+    */
+  def denseIds(keys: DataFrame, partitions: Int = 32): DataFrame = {
+    val spark = keys.sparkSession
+    import spark.implicits._
+    val sorted = keys.select(col(keys.columns.head).cast("string").as("key"))
+      .distinct()
+      .repartitionByRange(partitions, col("key"))
+      .sortWithinPartitions("key")
+      .as[String]
+    val counts = sorted.mapPartitions { it =>
+      Iterator.single((TaskContext.getPartitionId(), it.size.toLong))
+    }.collect().toMap
+    val nParts = sorted.rdd.getNumPartitions
+    val offsets = (0 until nParts).scanLeft(0L) { (acc, p) =>
+      acc + counts.getOrElse(p, 0L)
+    }.toArray
+    val bcOffsets = spark.sparkContext.broadcast(offsets)
+    sorted.mapPartitions { it =>
+      var i = bcOffsets.value(TaskContext.getPartitionId())
+      it.map { k => val r = (k, i); i += 1; r }
+    }.toDF("key", "id")
+  }
+
+  /** G5 — co-partition an edge table by `src` so every superstep's
+    * frontier⋈edges join reuses one fixed hash partitioning and the (big)
+    * edge side never moves again (LA3's 2D placement analog, SURVEY.md
+    * §4.1). Call `.persist()`/`localCheckpoint` on the result before
+    * iterating.
+    */
+  def coPartition(edges: DataFrame, numPartitions: Int): DataFrame =
+    edges.repartition(numPartitions, col("src"))
+      .sortWithinPartitions("src", "dst")
+
+  /** G6 — pack per-src adjacency into CSR-style array rows (EdgeBlock).
+    * Arrays stay in Tungsten format; the blocked SpMV kernel explodes them
+    * back per superstep. blockId = src hash bucket.
+    */
+  def edgeBlocks(edges: DataFrame, numBlocks: Int): Dataset[EdgeBlock] = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val withW =
+      if (edges.columns.contains("weight"))
+        edges.select(col("src"), col("dst"), col("weight").cast("double"))
+      else edges.select(col("src"), col("dst"), lit(1.0).as("weight"))
+    withW
+      .withColumn("blockId", pmod(hash(col("src")), lit(numBlocks)).cast("int"))
+      .groupBy("blockId", "src")
+      .agg(sort_array(collect_list(struct(col("dst"), col("weight"))))
+        .as("adj"))
+      .select(col("blockId"), col("src"),
+        col("adj.dst").as("dsts"), col("adj.weight").as("weights"))
+      .as[EdgeBlock]
+  }
+
+  /** G7 — hub/skew split (mandated, SURVEY.md §2.2 G7): edges whose `src`
+    * degree exceeds `tau` are salted into ⌈deg/tau⌉ sub-groups so no single
+    * reducer owns a whole hub adjacency. Returns the salted edge table with
+    * columns (src, dst, weight?, salt, nsalts). Frontier rows for hubs must
+    * be replicated to all salts — see [[replicateFrontier]].
+    */
+  def splitHubs(edges: DataFrame, tau: Long): DataFrame = {
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    edges.join(deg, "src")
+      .withColumn("nsalts",
+        greatest(lit(1L), ceil(col("deg") / lit(tau.toDouble))).cast("int"))
+      .withColumn("salt", pmod(hash(col("dst")), col("nsalts")))
+      .drop("deg")
+  }
+
+  /** Replicate frontier rows for hub vertices across their salts so the
+    * salted join covers every sub-group: explode(sequence(0, nsalts-1)).
+    */
+  def replicateFrontier(frontier: DataFrame, hubSalts: DataFrame): DataFrame =
+    frontier.join(hubSalts, frontier("id") === hubSalts("src"))
+      .withColumn("salt", explode(sequence(lit(0), col("nsalts") - 1)))
+      .drop("src", "nsalts")
+}

@@ -1,0 +1,128 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data pipeline: tokenization,
+  * quality scoring, heuristic language ID, token counting, document
+  * fingerprinting. Every op is a pure Catalyst expression (whole-stage
+  * codegen, no UDFs) and has an exact ANSI-SQL twin in [[graft.OracleSql]]
+  * — arithmetic is deliberately engine-agnostic (md5 for hashing, rational
+  * ratios rounded to 6 decimals).
+  */
+object TextOps {
+
+  /** Lowercased alphanumeric word tokens; empties removed. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= lit(""))
+
+  /** Distinct word n-gram shingles joined by single spaces; empty array
+    * when the document has fewer than n tokens.
+    */
+  def shingles(toks: Column, n: Int): Column = {
+    val grams = transform(
+      sequence(lit(1), size(toks) - lit(n - 1)),
+      i => concat_ws(" ", (0 until n).map(d => element_at(toks, i + lit(d))): _*))
+    when(size(toks) >= n, array_distinct(grams))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Rows (doc_id, shingle) — the exploded distinct shingle set. */
+  def shingleRows(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int): DataFrame =
+    docs.select(col(idCol),
+        explode(shingles(tokens(col(textCol)), n)).as("shingle"))
+
+  // --- quality scoring -----------------------------------------------------
+
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "in", "to", "is", "it", "on", "for")
+
+  /** Per-document quality stats. Ratios are exact rationals rounded to 6
+    * decimals (engine-agnostic). quality_score ∈ [0,1]: length-saturated
+    * and punctuation-penalized.
+    */
+  def textStats(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTok = size(toks).cast("long")
+    val punct = size(expr(
+      s"regexp_extract_all($textCol, '[^a-zA-Z0-9\\\\s]', 0)")).cast("long")
+    val stops = size(filter(toks,
+      t => t.isInCollection(Stopwords))).cast("long")
+    val punctRatio = round(punct.cast("double") /
+      when(length(col(textCol)) === 0, lit(null)).otherwise(length(col(textCol))), 6)
+    val stopRatio = round(stops.cast("double") /
+      when(nTok === 0, lit(null)).otherwise(nTok), 6)
+    docs.select(col(idCol),
+      length(col(textCol)).cast("long").as("n_chars_m"),
+      nTok.as("n_tokens"),
+      punct.as("n_punct"),
+      stops.as("n_stopwords"),
+      coalesce(punctRatio, lit(0.0)).as("punct_ratio"),
+      coalesce(stopRatio, lit(0.0)).as("stopword_ratio"))
+      .withColumn("quality_score",
+        round(least(lit(1.0), col("n_tokens") / lit(100.0)) *
+          (lit(1.0) - col("punct_ratio")), 6))
+  }
+
+  // --- heuristic language ID ----------------------------------------------
+
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "en" -> Seq("the", "a", "of", "and", "in", "to", "is"),
+    "es" -> Seq("el", "los", "las", "y", "es", "una", "que"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "un"))
+
+  /** Marker-word language ID: score = marker-token count per language,
+    * predict argmax, ties → alphabetically first scored language, all-zero
+    * → "und". Output: (id, s_de, s_en, s_es, s_fr, pred_lang).
+    */
+  def langId(docs: DataFrame, idCol: String = "doc_id",
+             textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val scored = docs.select(Seq(col(idCol)) ++ LangMarkers.map {
+      case (lang, markers) =>
+        size(filter(toks, t => t.isInCollection(markers)))
+          .cast("long").as(s"s_$lang")
+    }: _*)
+    scored.withColumn("pred_lang",
+      when(col("s_de") >= greatest(col("s_en"), col("s_es"), col("s_fr")) &&
+        col("s_de") > 0, "de")
+        .when(col("s_en") >= greatest(col("s_es"), col("s_fr")) &&
+          col("s_en") > 0, "en")
+        .when(col("s_es") >= col("s_fr") && col("s_es") > 0, "es")
+        .when(col("s_fr") > 0, "fr")
+        .otherwise("und"))
+  }
+
+  // --- token counting ------------------------------------------------------
+
+  /** Whitespace token count + BPE-ish sub-token count (letter runs, digit
+    * runs, single punctuation marks — the common pre-tokenizer regex).
+    */
+  def tokenCounts(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      size(filter(split(col(textCol), "\\s+"), t => t =!= lit("")))
+        .cast("long").as("ws_tokens"),
+      size(expr(
+        s"regexp_extract_all($textCol, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]', 0)"))
+        .cast("long").as("bpe_tokens"))
+
+  // --- fingerprinting ------------------------------------------------------
+
+  /** k-min sketch fingerprint: the k lexicographically smallest md5 digests
+    * of the document's word n-gram shingles, comma-joined. Engine-agnostic
+    * (md5 hex is identical everywhere); a compact identity for near-dup
+    * bucketing and provenance.
+    */
+  def fingerprint(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text", n: Int = 4,
+                  k: Int = 4): DataFrame =
+    shingleRows(docs, idCol, textCol, n)
+      .groupBy(idCol)
+      .agg(concat_ws(",",
+        slice(sort_array(collect_list(md5(col("shingle")))), 1, k))
+        .as("fingerprint"))
+}
