@@ -27,14 +27,14 @@ object CorpusGen {
         lit("scala"), lit("scala"), lit("java"), lit("java"),
         lit("py"), lit("py"), lit("c"), lit("c")), lang))
 
-  /** Generate the corpus.
-    *
-    * @param filesPerCommit cap on files touched per commit (FIXTURES.md §A
-    *   — bounds co-change fan-out; mirrors the derivation-side cap).
+  /** Generate the corpus. Every file is touched by its deterministic
+    * "birth commit" (k = j mod commitsPerRepo) plus a seeded-hash subset of
+    * the other commits, so all files exist in the corpus and co-change
+    * ground truth is known. Co-change fan-out is capped at the DERIVATION
+    * side (EdgeDerivation.coChangeEdges), not here.
     */
   def generate(spark: SparkSession, nRepos: Int, filesPerRepo: Int,
-               commitsPerRepo: Int, seed: Long = 42L,
-               filesPerCommit: Int = 64): DataFrame = {
+               commitsPerRepo: Int, seed: Long = 42L): DataFrame = {
     // files: one row per (repo i, file j)
     val files = spark.range(nRepos.toLong * filesPerRepo)
       .select((col("id") / filesPerRepo).cast("long").as("i"),
@@ -58,12 +58,9 @@ object CorpusGen {
           1, 40))
 
     val touched = files.join(commits, "i")
-      .where(pmod(xxhash64(lit(seed), col("repo"), col("j"), col("k")),
-        lit(100)) < 35)
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("repo", "k").orderBy("j")))
-      .where(col("rn") <= filesPerCommit)
+      .where((col("j") % commitsPerRepo === col("k")) ||
+        pmod(xxhash64(lit(seed), col("repo"), col("j"), col("k")),
+          lit(100)) < 30)
 
     // content: pure function of (repo, path, commit) with import ground truth
     val lang1 = col("lang")

@@ -16,7 +16,7 @@ object Multimodal {
   final case class AssetMeta(doc_id: Long, n_bytes: Long, checksum: String,
                              width: Int, height: Int, n_frames: Int)
 
-  private final case class RawAsset(doc_id: Long, payload: Array[Byte])
+  final case class RawAsset(doc_id: Long, payload: Array[Byte])
 
   /** Attach an opaque binary payload column. In production this is the
     * parquet/Iceberg binary column itself; here it is derived from text so

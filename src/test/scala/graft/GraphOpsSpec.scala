@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.graph.GraphOps
+
+class GraphOpsSpec extends SparkSpec {
+
+  // star5: hub 0 ↔ leaves 1–4 (FIXTURES.md §C)
+  private val star = Seq[(Long, Long)]((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))
+
+  test("degrees: out/in on star graph") {
+    val e = edgesDf(star)
+    assert(collectL(GraphOps.outDegrees(e), "id", "outdeg") ===
+      Map(0L -> 4L))
+    assert(collectL(GraphOps.inDegrees(e), "id", "indeg") ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("classify: regular/source/sink/isolated with explicit universe") {
+    val s = spark
+    import s.implicits._
+    val e = edgesDf(Seq((0L, 1L), (1L, 2L)))
+    val universe = Seq(0L, 1L, 2L, 9L).toDF("id")
+    val cls = GraphOps.classify(e, universe)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(cls === Map(0L -> "source", 1L -> "regular", 2L -> "sink",
+      9L -> "isolated"))
+  }
+
+  test("symmetrize doubles directed edges and dedups") {
+    val e = edgesDf(Seq((0L, 1L), (1L, 0L), (1L, 2L)))
+    assert(GraphOps.symmetrize(e).count() === 4) // (0,1),(1,0),(1,2),(2,1)
+  }
+
+  test("orient produces simple a<b edge set") {
+    val e = edgesDf(Seq((2L, 1L), (1L, 2L), (3L, 3L), (1L, 4L)))
+    val o = GraphOps.orient(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(o === Set((1L, 2L), (1L, 4L)))
+  }
+
+  test("denseIds: 0..V-1, sort-ordered, deterministic across partitionings") {
+    val s = spark
+    import s.implicits._
+    val keys = Seq("pear", "apple", "mango", "fig").toDF("key")
+    val m1 = GraphOps.denseIds(keys, partitions = 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val m2 = GraphOps.denseIds(keys.repartition(7), partitions = 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m1 === Map("apple" -> 0L, "fig" -> 1L, "mango" -> 2L,
+      "pear" -> 3L))
+    assert(m1 === m2)
+  }
+
+  test("edgeBlocks pack full adjacency per src, sorted") {
+    val e = edgesWDf(Seq((0L, 3L, 1.0), (0L, 1L, 2.0), (5L, 0L, 1.0)))
+    val blocks = GraphOps.edgeBlocks(e, 4).collect()
+    val b0 = blocks.find(_.src == 0L).get
+    assert(b0.dsts.toSeq === Seq(1L, 3L))
+    assert(b0.weights.toSeq === Seq(2.0, 1.0))
+    assert(blocks.find(_.src == 5L).get.dsts.toSeq === Seq(0L))
+  }
+
+  test("splitHubs salts only above tau and covers all edges") {
+    val hubEdges = (1L to 10L).map(d => (0L, d)) :+ ((1L, 2L))
+    val e = edgesDf(hubEdges).withColumn("weight", lit(1.0))
+    val salted = GraphOps.splitHubs(e, tau = 4)
+    assert(salted.count() === 11)
+    val hubSalts = salted.where(col("src") === 0L)
+      .select("nsalts").distinct().collect().map(_.getInt(0)).toSeq
+    assert(hubSalts === Seq(3)) // ceil(10/4)
+    assert(salted.where(col("src") === 1L)
+      .select("nsalts").head().getInt(0) === 1)
+  }
+}

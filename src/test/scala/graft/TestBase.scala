@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local session (one JVM for the whole forked test run). */
+object TestSpark {
+  lazy val spark: SparkSession =
+    graft.util.Sessions.local(4, "graft-test")
+}
+
+trait SparkSpec extends AnyFunSuite {
+  def spark: SparkSession = TestSpark.spark
+
+  /** Edge DataFrame from (src, dst) pairs. */
+  def edgesDf(pairs: Seq[(Long, Long)]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    pairs.toDF("src", "dst")
+  }
+
+  def edgesWDf(triples: Seq[(Long, Long, Double)]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    triples.toDF("src", "dst", "weight")
+  }
+
+  /** Collect (id, value[Double]) results into a map. */
+  def collectD(df: DataFrame, id: String, v: String): Map[Long, Double] =
+    df.select(id, v).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  def collectL(df: DataFrame, id: String, v: String): Map[Long, Long] =
+    df.select(id, v).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+}
+
+/** Independent in-test oracles (SURVEY.md §5.2): plain-Scala implementations
+  * with the pinned semantics of §5.3, no Spark involved.
+  */
+object Oracles {
+
+  /** Dense PageRank with the engine's exact semantics: r0 = 1, r' = 0.15 +
+    * 0.85·Σ in r/outdeg, stop when L∞ residual < tol (or after `iters` if
+    * tol is NaN). Returns ranks for vertices 0..n-1.
+    */
+  def densePageRank(n: Int, edges: Seq[(Long, Long)], tol: Double,
+                    iters: Int = 1000): Array[Double] = {
+    val out = Array.fill(n)(0)
+    edges.foreach { case (s, _) => out(s.toInt) += 1 }
+    var r = Array.fill(n)(1.0)
+    var it = 0
+    var residual = Double.MaxValue
+    while (it < iters && !(residual < tol)) {
+      val mass = Array.fill(n)(0.0)
+      edges.foreach { case (s, d) =>
+        mass(d.toInt) += r(s.toInt) / out(s.toInt)
+      }
+      val r2 = Array.tabulate(n)(i => 0.15 + 0.85 * mass(i))
+      residual = r.zip(r2).map { case (a, b) => math.abs(a - b) }.max
+      r = r2
+      it += 1
+    }
+    r
+  }
+
+  /** Union-find connected components over the symmetrized graph; label =
+    * min vertex id in component.
+    */
+  def unionFind(vertices: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map(vertices.map(v => v -> v): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    vertices.map(v => v -> find(v)).toMap
+  }
+
+  /** Brute-force synchronous LP with the pinned tie-break (mode of
+    * in-neighbor labels, ties → smallest label, no in-neighbors → keep).
+    */
+  def bruteLp(vertices: Seq[Long], edges: Seq[(Long, Long)],
+              rounds: Int): Map[Long, Long] = {
+    var lab = vertices.map(v => v -> v).toMap
+    val inN = edges.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    for (_ <- 1 to rounds) {
+      lab = vertices.map { v =>
+        inN.get(v) match {
+          case None => v -> lab(v)
+          case Some(ns) =>
+            val counts = ns.groupBy(lab).view.mapValues(_.size).toSeq
+            val best = counts.minBy { case (l, c) => (-c, l) }._1
+            v -> best
+        }
+      }.toMap
+    }
+    lab
+  }
+
+  /** Brute-force triangle count on the simple undirected graph. */
+  def bruteTriangles(vertices: Seq[Long], edges: Seq[(Long, Long)]): Long = {
+    val es = edges.flatMap { case (a, b) =>
+      if (a == b) Nil else Seq((math.min(a, b), math.max(a, b)))
+    }.toSet
+    val vs = vertices.sorted
+    var cnt = 0L
+    for {
+      i <- vs.indices; j <- (i + 1) until vs.size
+      if es((vs(i), vs(j)))
+      k <- (j + 1) until vs.size
+      if es((vs(j), vs(k))) && es((vs(i), vs(k)))
+    } cnt += 1
+    cnt
+  }
+
+  /** k rounds of Bellman-Ford (min distance over paths of ≤ k edges). */
+  def bellmanFord(vertices: Seq[Long], edges: Seq[(Long, Long, Double)],
+                  src: Long, rounds: Int): Map[Long, Double] = {
+    var dist = vertices.map(v =>
+      v -> (if (v == src) 0.0 else Double.PositiveInfinity)).toMap
+    for (_ <- 1 to rounds) {
+      val relaxed = edges.flatMap { case (s, d, w) =>
+        if (dist(s).isInfinity) Nil else Seq(d -> (dist(s) + w))
+      }.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+      dist = dist.map { case (v, dv) =>
+        v -> math.min(dv, relaxed.getOrElse(v, Double.PositiveInfinity))
+      }
+    }
+    dist
+  }
+
+  /** Seeded random simple directed graph. */
+  def randomGraph(seed: Int, n: Int, m: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    (1 to m).map { _ =>
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+    }.filter { case (a, b) => a != b }.distinct
+  }
+}
