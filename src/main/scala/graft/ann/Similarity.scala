@@ -23,6 +23,24 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Per-vector prep done ONCE before pair fan-out: double-cast array +
+    * norm. dot(vd)/(n1·n2) over prepped rows is bit-identical to computing
+    * cosine from the raw float arrays per pair (same summation order), but
+    * the casts and norms are O(n) instead of O(n²).
+    */
+  private def prepped(emb: DataFrame, idCol: String,
+                      vecCol: String): DataFrame =
+    emb.select(col(idCol),
+        transform(col(vecCol), x => x.cast("double")).as("__vd"))
+      .select(col(idCol), col("__vd"),
+        sqrt(dotD(col("__vd"), col("__vd"))).as("__nrm"))
+
+  /** Codegen'd dot product (see [[graft.functions.DotProduct]]) — the
+    * O(n²) pair loops must stay inside whole-stage codegen.
+    */
+  private def dotD(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.dot_product(a, b)
+
   /** All pairs (v1 < v2) with 6-decimal-rounded cosine ≥ threshold —
     * embedding near-dup detection. Brute force: O(n²) pairs; callers at
     * scale should bucket first (see [[lshBuckets]]).
@@ -30,11 +48,13 @@ object Similarity {
   def nearDupPairs(emb: DataFrame, threshold: Double,
                    idCol: String = "vec_id",
                    vecCol: String = "embedding"): DataFrame = {
-    val a = emb.select(col(idCol).as("v1"), col(vecCol).as("ea"))
-    val b = emb.select(col(idCol).as("v2"), col(vecCol).as("eb"))
+    val p = prepped(emb, idCol, vecCol)
+    val a = p.toDF("v1", "va", "na")
+    val b = p.toDF("v2", "vb", "nb")
     a.join(b, col("v1") < col("v2"))
       .select(col("v1"), col("v2"),
-        round(cosine(col("ea"), col("eb")), 6).as("cos"))
+        round(dotD(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+          .as("cos"))
       .where(col("cos") >= threshold)
   }
 
@@ -44,11 +64,12 @@ object Similarity {
     */
   def topK(queries: DataFrame, corpus: DataFrame, k: Int,
            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val q = prepped(queries, idCol, vecCol).toDF("query_id", "qv", "qn")
+    val c = prepped(corpus, idCol, vecCol).toDF("neighbor_id", "cv", "cn")
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("qv"), col("cv")), 6).as("cos"))
+        round(dotD(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
+          .as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rk", row_number().over(w).cast("long"))
@@ -85,15 +106,15 @@ object Similarity {
     */
   def annTopK(emb: DataFrame, bits: Int, k: Int, idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
-    val withBucket = emb.join(lshBuckets(emb, bits, idCol, vecCol), idCol)
-    val a = withBucket.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      col("bucket"))
-    val b = withBucket.select(col(idCol).as("neighbor_id"),
-      col(vecCol).as("cv"), col("bucket"))
+    val withBucket = prepped(emb, idCol, vecCol)
+      .join(lshBuckets(emb, bits, idCol, vecCol), idCol)
+    val a = withBucket.toDF("query_id", "qv", "qn", "bucket")
+    val b = withBucket.toDF("neighbor_id", "cv", "cn", "bucket")
     val scored = a.join(b, Seq("bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("qv"), col("cv")), 6).as("cos"))
+        round(dotD(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
+          .as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rk", row_number().over(w).cast("long"))

@@ -64,13 +64,18 @@ object Dedup {
 
   /** MinHash signatures, md5 variant: numHashes rows per doc,
     * (doc_id, i, h) with h = min over shingles of md5("<i>:<shingle>").
+    * Computed as one wide aggregate over the shingle rows (single shuffle)
+    * then unpivoted — exploding shingle rows ×numHashes through the shuffle
+    * costs numHashes× the shuffle volume for identical values.
     */
   def minhashSignatures(sh: DataFrame, numHashes: Int,
-                        idCol: String = "doc_id"): DataFrame =
-    sh.withColumn("i", explode(sequence(lit(0), lit(numHashes - 1))))
-      .groupBy(col(idCol), col("i"))
-      .agg(min(md5(concat(col("i").cast("string"), lit(":"),
-        col("shingle")))).as("h"))
+                        idCol: String = "doc_id"): DataFrame = {
+    val aggs = (0 until numHashes).map(i =>
+      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"h$i"))
+    val stackArgs = (0 until numHashes).map(i => s"$i, h$i").mkString(", ")
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      .selectExpr(idCol, s"stack($numHashes, $stackArgs) AS (i, h)")
+  }
 
   /** MinHash + LSH near-dup pairs: signatures → band buckets (r=1: any
     * matching hash makes a candidate — recall ≈ 1 for J ≥ 0.5 at 16

@@ -51,6 +51,20 @@ object Superstep {
           vp: VertexProgram, cfg: SuperstepConfig,
           resume: Boolean = false): SuperstepResult = {
 
+    // AQE re-plans every shuffle — worth it for one big query, pure
+    // scheduling overhead for a loop of hundreds of small identical jobs
+    // (measured ~30% of superstep wall at sf0.1). Skew inside the loop is
+    // handled explicitly (hubTau); restore the user's setting on exit.
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      runLoop(spark, edges, graphVertices, vp, cfg, resume)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
+
+  private def runLoop(spark: SparkSession, edges: DataFrame,
+                      graphVertices: DataFrame, vp: VertexProgram,
+                      cfg: SuperstepConfig, resume: Boolean): SuperstepResult = {
     val n = cfg.numPartitions
 
     // --- one-time graph prep: co-partition + optional hub salt split ---
@@ -67,8 +81,9 @@ object Superstep {
       .repartition(n, col("src"), col("salt"))
       .sortWithinPartitions("src", "dst")
       .localCheckpoint(true)
-    // src → number of salt groups (1 for non-hubs); tiny unless pathological
-    val saltMap = eB.select("src", "nsalts").distinct()
+    // src → number of salt groups (1 for non-hubs); tiny unless pathological.
+    // Only materialized when hub splitting is on.
+    lazy val saltMap = eB.select("src", "nsalts").distinct()
       .repartition(n, col("src")).localCheckpoint(true)
     val anyHubs = cfg.hubTau.isDefined &&
       saltMap.where(col("nsalts") > 1).limit(1).count() > 0

@@ -27,11 +27,15 @@ object TextOps {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Rows (doc_id, shingle) — the exploded distinct shingle set. */
+  /** Rows (doc_id, shingle) — the exploded distinct shingle set. The token
+    * array is materialized in its own projection first: inlining it into the
+    * shingle expression would re-split the text once per gram position
+    * (O(words²) work per document — measured 10×+ slowdowns at sf0.1).
+    */
   def shingleRows(docs: DataFrame, idCol: String, textCol: String,
                   n: Int): DataFrame =
-    docs.select(col(idCol),
-        explode(shingles(tokens(col(textCol)), n)).as("shingle"))
+    docs.select(col(idCol), tokens(col(textCol)).as("__ts"))
+      .select(col(idCol), explode(shingles(col("__ts"), n)).as("shingle"))
 
   // --- quality scoring -----------------------------------------------------
 
@@ -44,7 +48,7 @@ object TextOps {
     */
   def textStats(docs: DataFrame, idCol: String = "doc_id",
                 textCol: String = "text"): DataFrame = {
-    val toks = tokens(col(textCol))
+    val toks = col("__ts")
     val nTok = size(toks).cast("long")
     val punct = size(expr(
       s"regexp_extract_all($textCol, '[^a-zA-Z0-9\\\\s]', 0)")).cast("long")
@@ -54,13 +58,14 @@ object TextOps {
       when(length(col(textCol)) === 0, lit(null)).otherwise(length(col(textCol))), 6)
     val stopRatio = round(stops.cast("double") /
       when(nTok === 0, lit(null)).otherwise(nTok), 6)
-    docs.select(col(idCol),
-      length(col(textCol)).cast("long").as("n_chars_m"),
-      nTok.as("n_tokens"),
-      punct.as("n_punct"),
-      stops.as("n_stopwords"),
-      coalesce(punctRatio, lit(0.0)).as("punct_ratio"),
-      coalesce(stopRatio, lit(0.0)).as("stopword_ratio"))
+    docs.select(col(idCol), col(textCol), tokens(col(textCol)).as("__ts"))
+      .select(col(idCol),
+        length(col(textCol)).cast("long").as("n_chars_m"),
+        nTok.as("n_tokens"),
+        punct.as("n_punct"),
+        stops.as("n_stopwords"),
+        coalesce(punctRatio, lit(0.0)).as("punct_ratio"),
+        coalesce(stopRatio, lit(0.0)).as("stopword_ratio"))
       .withColumn("quality_score",
         round(least(lit(1.0), col("n_tokens") / lit(100.0)) *
           (lit(1.0) - col("punct_ratio")), 6))
@@ -80,8 +85,10 @@ object TextOps {
     */
   def langId(docs: DataFrame, idCol: String = "doc_id",
              textCol: String = "text"): DataFrame = {
-    val toks = tokens(col(textCol))
-    val scored = docs.select(Seq(col(idCol)) ++ LangMarkers.map {
+    val toks = col("__ts")
+    val scored = docs
+      .select(col(idCol), tokens(col(textCol)).as("__ts"))
+      .select(Seq(col(idCol)) ++ LangMarkers.map {
       case (lang, markers) =>
         size(filter(toks, t => t.isInCollection(markers)))
           .cast("long").as(s"s_$lang")
