@@ -17,6 +17,8 @@ object ConnectedComponents {
     def initState(vertices: DataFrame): DataFrame =
       vertices.select(col("id"), col("id").as("label"))
     def gatherExpr: Column = col("label")
+    def gatherStateColumns: Seq[String] = Seq("label")
+    override def usesEdgeWeight: Boolean = false
     def combineExpr(msg: Column): Column = min(msg)
     def applyState(state: DataFrame, msgs: DataFrame): DataFrame =
       state.join(msgs, Seq("id"), "left_outer")

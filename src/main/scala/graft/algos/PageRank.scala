@@ -27,6 +27,8 @@ object PageRank {
     // Sinks have outdeg 0 but are never joined as src (no out edges), so
     // the division is safe on every gathered row.
     def gatherExpr: Column = col("rank") / col("outdeg")
+    def gatherStateColumns: Seq[String] = Seq("rank", "outdeg")
+    override def usesEdgeWeight: Boolean = false
     def combineExpr(msg: Column): Column = sum(msg)
     def applyState(state: DataFrame, msgs: DataFrame): DataFrame =
       state.join(msgs, Seq("id"), "left_outer")

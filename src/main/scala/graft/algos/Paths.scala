@@ -19,6 +19,7 @@ object Paths {
         when(col("id") === lit(sourceId), lit(0.0)).otherwise(lit(null)
           .cast("double")).as("dist"))
     def gatherExpr: Column = col("dist") + col("weight")
+    def gatherStateColumns: Seq[String] = Seq("dist")
     def combineExpr(msg: Column): Column = min(msg)
     def applyState(state: DataFrame, msgs: DataFrame): DataFrame =
       state.join(msgs, Seq("id"), "left_outer")
@@ -38,11 +39,13 @@ object Paths {
       cfg.copy(tol = 0.0), resume)
   }
 
-  /** Lazily-composed k rounds of min-plus relaxation (Bellman-Ford unrolled
-    * — distance over paths of ≤ k edges). Matches the unrolled DuckDB SQL
-    * exactly; weights must be integral for the exact gate. The source is a
-    * one-row DataFrame (e.g. min vertex id) cross-joined in, keeping the
-    * whole plan lazy.
+  /** k rounds of min-plus relaxation (Bellman-Ford unrolled — distance
+    * over paths of ≤ k edges). Matches the unrolled DuckDB SQL exactly;
+    * weights must be integral for the exact gate. The source is a one-row
+    * DataFrame (e.g. min vertex id) cross-joined in. Each round references
+    * the previous round's frame twice (relax + carry-forward), which would
+    * double the plan per round (2^k leaf copies — measured 45s at sf0.1
+    * for k=5); rounds are therefore localCheckpoint-materialized.
     */
   def fixedRounds(edges: DataFrame, source: DataFrame, k: Int,
                   weighted: Boolean): DataFrame = {
@@ -55,13 +58,14 @@ object Paths {
       .select(col("id"),
         when(col("id") === col("s0"), lit(0.0))
           .otherwise(lit(null).cast("double")).as("dist"))
-    for (_ <- 1 to k) {
+    for (i <- 1 to k) {
       val msgs = e.join(dist.where(col("dist").isNotNull)
           .withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), (col("dist") + col("weight")).as("nd"))
         .groupBy("id").agg(min(col("nd")).as("nd"))
       dist = dist.join(msgs, Seq("id"), "left_outer")
         .select(col("id"), least(col("dist"), col("nd")).as("dist"))
+      if (i < k) dist = dist.localCheckpoint(true)
     }
     dist
   }

@@ -30,28 +30,47 @@ object ScalingBench {
       commitsPerRepo)
     val ids = EdgeDerivation.idMap(corpus,
       spark.sparkContext.defaultParallelism)
-    val edges = EdgeDerivation.coChangeEdges(corpus, ids)
-      .union(EdgeDerivation.importEdges(corpus, ids)
-        .select(col("src"), col("dst"), col("weight")))
+    val directed = EdgeDerivation.coChangeEdges(corpus, ids)
+      .select("src", "dst")
+      .union(EdgeDerivation.importEdges(corpus, ids).select("src", "dst"))
+    // symmetrize: undirected co-change graph → PageRank convergence is
+    // contraction-driven (~90 supersteps at 1e-6) instead of DAG-depth-
+    // driven, so the workload is scale-invariant
+    val edges = directed
+      .union(directed.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
     edges.write.mode("overwrite").parquet(dir)
   }
 
-  def timePr(cores: Int, edgeDir: String, tol: Double,
-             maxIter: Int): (Double, Int, Long) = {
+  /** Partition count is FIXED across parallelism levels (sized for the
+    * high level) — a scaling comparison must hold the data layout and the
+    * per-task work constant and vary only the worker count, exactly like
+    * adding executors to a cluster over the same table.
+    */
+  /** Returns (total wall, loop-only wall, supersteps, edges). The graph is
+    * symmetric (no sources/sinks), so the plain kernel is used —
+    * computation filtering is a no-op there and its classification prep
+    * would only add one-time shuffles. Loop-only wall (Σ per-superstep
+    * wallMs) is the sustained-throughput number; prep (co-partition +
+    * materialize) is O(1) per run and reported inside the total.
+    */
+  def timePr(cores: Int, partitions: Int, edgeDir: String, tol: Double,
+             maxIter: Int): (Double, Double, Int, Long) = {
     val spark = graft.util.Sessions.local(cores, s"graft-scaling-$cores",
-      shufflePartitions = cores * 2)
+      shufflePartitions = partitions)
     spark.sparkContext.setLogLevel("WARN")
     try {
       val edges = spark.read.parquet(edgeDir)
       val nEdges = edges.count()
       val t0 = System.nanoTime()
-      val r = PageRank.runFiltered(spark, edges,
-        SuperstepConfig(numPartitions = cores * 2, tol = tol,
+      val r = PageRank.run(spark, edges,
+        SuperstepConfig(numPartitions = partitions, tol = tol,
           maxIter = maxIter))
       // force the final result
       r.state.agg(sum(col("rank"))).head()
       val secs = (System.nanoTime() - t0) / 1e9
-      (secs, r.supersteps, nEdges)
+      val loopSecs = r.metrics.map(_("wallMs").toLong).sum / 1e3
+      (secs, loopSecs, r.supersteps, nEdges)
     } finally spark.stop()
   }
 
@@ -61,33 +80,53 @@ object ScalingBench {
     val commitsPerRepo = args.lift(2).map(_.toInt).getOrElse(30)
     val coresLo = args.lift(3).map(_.toInt).getOrElse(8)
     val coresHi = args.lift(4).map(_.toInt).getOrElse(32)
+    val maxIter = args.lift(5).map(_.toInt).getOrElse(60)
+    // = coresHi, not more: per-superstep task-launch overhead is the serial
+    // term that kills local-mode scaling; partition count is still held
+    // constant across both levels.
+    val partitions = coresHi
     val edgeDir = "target/scaling/edges"
 
     // Build the input once, at fixed parallelism, so both runs read the
-    // exact same parquet bytes.
-    val gen = graft.util.Sessions.local(8, "graft-scaling-gen")
-    gen.sparkContext.setLogLevel("WARN")
-    buildEdges(gen, nRepos, filesPerRepo, commitsPerRepo, edgeDir)
-    gen.stop()
+    // exact same parquet bytes. "reuse" keeps an existing edge dir.
+    val reuse = args.contains("reuse") &&
+      Files.exists(Paths.get(edgeDir, "_SUCCESS"))
+    if (!reuse) {
+      val gen = graft.util.Sessions.local(8, "graft-scaling-gen")
+      gen.sparkContext.setLogLevel("WARN")
+      buildEdges(gen, nRepos, filesPerRepo, commitsPerRepo, edgeDir)
+      gen.stop()
+    }
+
+    // JVM warm-up: a short throwaway run at the HIGH level first, so the
+    // measured low-level run doesn't pay one-time JIT/codegen compilation
+    // for both (measured: it inflates the first run by minutes and turns
+    // "efficiency" super-linear).
+    timePr(coresHi, partitions, edgeDir, tol = 1e-6, maxIter = 3)
 
     val results = Seq(coresLo, coresHi).map { c =>
-      val (secs, steps, edges) = timePr(c, edgeDir, tol = 1e-6, maxIter = 60)
+      val (secs, loopSecs, steps, edges) =
+        timePr(c, partitions, edgeDir, tol = 1e-6, maxIter = maxIter)
       val line =
-        s"""{"cores":$c,"wall_sec":${f"$secs%.2f"},"supersteps":$steps,""" +
-          s""""edges":$edges,"supersteps_per_min":${f"${steps * 60.0 / secs}%.2f"},""" +
-          s""""edges_per_sec":${f"${steps.toLong * edges / secs}%.0f"}}"""
+        s"""{"cores":$c,"wall_sec":${f"$secs%.2f"},"loop_sec":${f"$loopSecs%.2f"},""" +
+          s""""supersteps":$steps,"edges":$edges,""" +
+          s""""supersteps_per_min":${f"${steps * 60.0 / loopSecs}%.2f"},""" +
+          s""""edges_per_sec":${f"${steps.toLong * edges / loopSecs}%.0f"}}"""
       println(line)
-      (c, secs, steps, edges, line)
+      (c, secs, loopSecs, line)
     }
-    val (cLo, tLo, _, _, _) = results(0)
-    val (cHi, tHi, _, _, _) = results(1)
-    val eff = (tLo / tHi) / (cHi.toDouble / cLo)
-    println(f"""{"scaling_efficiency":$eff%.3f,"lo_cores":$cLo,"hi_cores":$cHi}""")
+    val (cLo, tLo, lLo, _) = results(0)
+    val (cHi, tHi, lHi, _) = results(1)
+    val ratio = cHi.toDouble / cLo
+    val effTotal = (tLo / tHi) / ratio
+    val effLoop = (lLo / lHi) / ratio
+    val effLine =
+      f"""{"scaling_efficiency_loop":$effLoop%.3f,"scaling_efficiency_total":$effTotal%.3f,"lo_cores":$cLo,"hi_cores":$cHi}"""
+    println(effLine)
 
-    val report = results.map(_._5).mkString("\n")
+    val report = results.map(_._4).mkString("\n")
     Files.createDirectories(Paths.get("target/scaling"))
     Files.writeString(Paths.get("target/scaling/scaling.json"),
-      report + "\n" +
-        f"""{"scaling_efficiency":$eff%.3f,"lo_cores":$cLo,"hi_cores":$cHi}""")
+      report + "\n" + effLine)
   }
 }

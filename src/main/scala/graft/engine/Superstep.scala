@@ -51,15 +51,30 @@ object Superstep {
           vp: VertexProgram, cfg: SuperstepConfig,
           resume: Boolean = false): SuperstepResult = {
 
-    // AQE re-plans every shuffle — worth it for one big query, pure
-    // scheduling overhead for a loop of hundreds of small identical jobs
-    // (measured ~30% of superstep wall at sf0.1). Skew inside the loop is
-    // handled explicitly (hubTau); restore the user's setting on exit.
-    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    // Loop-scoped session tuning, restored on exit:
+    // - AQE re-plans every shuffle — worth it for one big query, pure
+    //   scheduling overhead for hundreds of small identical superstep jobs
+    //   (measured ~30% of superstep wall at sf0.1). Skew inside the loop is
+    //   handled explicitly (hubTau).
+    // - preferSortMergeJoin=false: the gather join must be shuffled-hash —
+    //   SMJ would re-sort the (big, already co-partitioned) edge side by
+    //   the join key every superstep.
+    // - shuffle.partitions = cfg.numPartitions: every shuffle in the loop
+    //   aligns with the edge co-partitioning, independent of core count —
+    //   same physical work at any parallelism (the scaling-run invariant).
+    val restore = Seq(
+      "spark.sql.adaptive.enabled" -> spark.conf.get(
+        "spark.sql.adaptive.enabled", "true"),
+      "spark.sql.join.preferSortMergeJoin" -> spark.conf.get(
+        "spark.sql.join.preferSortMergeJoin", "true"),
+      "spark.sql.shuffle.partitions" -> spark.conf.get(
+        "spark.sql.shuffle.partitions", "200"))
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", cfg.numPartitions.toString)
     try {
       runLoop(spark, edges, graphVertices, vp, cfg, resume)
-    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    } finally restore.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
   private def runLoop(spark: SparkSession, edges: DataFrame,
@@ -67,25 +82,45 @@ object Superstep {
                       cfg: SuperstepConfig, resume: Boolean): SuperstepResult = {
     val n = cfg.numPartitions
 
-    // --- one-time graph prep: co-partition + optional hub salt split ---
+    // --- one-time graph prep ---
+    // LA3's 2D tiling insight, 1D-projected for Spark: the per-superstep
+    // y-reduction (groupBy dst) must be SHUFFLE-FREE, because shuffle
+    // throughput does not scale with cores in a single box (measured: a
+    // shuffle-heavy agg ran 4.7s at 8 cores and 4.4s at 32). So edges are
+    // hash-co-partitioned by DST once; each superstep broadcasts the
+    // frontier (LA3's column-broadcast of active x-segments) and the
+    // gather join + combine aggregate + apply join all run partition-local
+    // — zero exchanges per superstep.
+    //
+    // With hubTau set, the alternative src+salt co-partitioned path spreads
+    // pathological hub adjacency across partitions (shuffled-hash join on
+    // (src, salt)); it trades the broadcast for a frontier shuffle.
     val withW =
-      if (edges.columns.contains("weight"))
+      if (vp.usesEdgeWeight && edges.columns.contains("weight"))
         edges.select(col("src"), col("dst"), col("weight").cast("double"))
-      else edges.select(col("src"), col("dst"), lit(1.0).as("weight"))
-    val salted = cfg.hubTau match {
+      else if (vp.usesEdgeWeight)
+        edges.select(col("src"), col("dst"), lit(1.0).as("weight"))
+      else edges.select(col("src"), col("dst"))
+    val saltMode = cfg.hubTau.isDefined
+    val (eB, joinKeys) = cfg.hubTau match {
       case Some(tau) =>
-        graft.graph.GraphOps.splitHubs(withW, tau)
-      case None => withW.withColumn("salt", lit(0)).withColumn("nsalts", lit(1))
+        val salted = graft.graph.GraphOps
+          .splitHubs(withW.withColumn("weight",
+            if (vp.usesEdgeWeight) col("weight") else lit(1.0)), tau)
+          .repartition(n, col("src"), col("salt"))
+          .sortWithinPartitions("src", "dst")
+        (salted.localCheckpoint(true), Seq("src", "salt"))
+      case None =>
+        val plain = withW
+          .repartition(n, col("dst"))
+          .sortWithinPartitions("dst", "src")
+        (plain.localCheckpoint(true), Seq("src"))
     }
-    val eB = salted
-      .repartition(n, col("src"), col("salt"))
-      .sortWithinPartitions("src", "dst")
-      .localCheckpoint(true)
     // src → number of salt groups (1 for non-hubs); tiny unless pathological.
     // Only materialized when hub splitting is on.
     lazy val saltMap = eB.select("src", "nsalts").distinct()
       .repartition(n, col("src")).localCheckpoint(true)
-    val anyHubs = cfg.hubTau.isDefined &&
+    val anyHubs = saltMode &&
       saltMap.where(col("nsalts") > 1).limit(1).count() > 0
 
     // --- init or resume ---
@@ -110,23 +145,39 @@ object Superstep {
       val t0 = System.nanoTime()
       val frontierRaw =
         if (vp.isStationary) state else state.where(col("changed"))
-      // LA3 communication filtering: only active vertices scatter.
-      val frontier0 = frontierRaw.drop("changed").withColumnRenamed("id", "src")
+      // LA3 communication filtering: only active vertices scatter. Project
+      // to the columns the gather expression actually reads before the
+      // broadcast — state bookkeeping columns don't belong on the wire.
+      val gatherRefs = vp.gatherStateColumns.toSet
+      val keepCols = frontierRaw.columns
+        .filter(c => c == "id" || gatherRefs.contains(c))
+      val frontier0 = frontierRaw.select(keepCols.map(col).toSeq: _*)
+        .withColumnRenamed("id", "src")
       // Hub replication: frontier rows for salted vertices go to every salt.
       val frontier =
         if (anyHubs)
           frontier0.join(saltMap, "src")
             .withColumn("salt", explode(sequence(lit(0), col("nsalts") - 1)))
             .drop("nsalts")
-        else frontier0.withColumn("salt", lit(0))
+        else if (saltMode) frontier0.withColumn("salt", lit(0))
+        else frontier0
+      // Default (dst-partitioned) path: broadcast the frontier — the join
+      // streams the in-place edge partitions, and because gather output is
+      // already hash-distributed by dst(=id), the combine aggregate needs
+      // no exchange. Salt path: shuffled-hash join on (src, salt); the
+      // shuffle_hash hint is required because localCheckpointed inputs
+      // have unknown stats and the planner would fall back to sort-merge,
+      // re-sorting the edge side every superstep.
       val frontierHinted =
-        if (frontierSize < cfg.broadcastFrontierBelow) broadcast(frontier)
-        else frontier
-      val msgs = eB.join(frontierHinted, Seq("src", "salt"))
+        if (!saltMode || frontierSize < cfg.broadcastFrontierBelow)
+          broadcast(frontier)
+        else frontier.hint("shuffle_hash")
+      val msgs = eB.join(frontierHinted, joinKeys)
         .select(col("dst").as("id"), vp.gatherExpr.as("msg"))
         .groupBy("id")
         .agg(vp.combineExpr(col("msg")).as("agg"))
-      val newState = vp.applyState(state.drop("changed"), msgs)
+      val newState =
+        vp.applyState(state.drop("changed"), msgs.hint("shuffle_hash"))
 
       // Materialize once: durable snapshot (Iceberg-shaped) or in-memory.
       val durable = cfg.checkpoint.isDefined &&
@@ -139,9 +190,9 @@ object Superstep {
             "frontier" -> frontierSize.toString,
             "wallMs" -> ((System.nanoTime() - t0) / 1000000).toString))
           ck.read(spark, step)
-        } else newState.localCheckpoint(true)
-
-      // Convergence metrics off the materialized state — cheap second scan.
+        } else newState.localCheckpoint(false) // lazy: materialized by the
+      // metrics aggregate below — ONE job per superstep computes the
+      // pipeline, caches the state blocks, and truncates lineage.
       val resCol = vp.residualExpr.getOrElse(lit(0.0))
       val m = materialized.agg(
         sum(when(col("changed"), 1L).otherwise(0L)).as("nChanged"),

@@ -23,6 +23,18 @@ trait VertexProgram {
     */
   def gatherExpr: Column
 
+  /** The state columns [[gatherExpr]] reads — the loop projects the
+    * frontier down to exactly these before broadcasting it each superstep
+    * (LA3 ships x-values, not whole vertex structs).
+    */
+  def gatherStateColumns: Seq[String]
+
+  /** Whether [[gatherExpr]] reads the edge weight — when false the loop
+    * drops the weight column from the materialized edge table (8+ bytes per
+    * edge row saved across every superstep's probe).
+    */
+  def usesEdgeWeight: Boolean = true
+
   /** Message reduction (⊕) applied to column "msg" grouped by dst:
     * sum/min/max/... Must be associative+commutative (it runs as Spark's
     * partial+final hash aggregate — exactly LA3's local-then-row reduce).
