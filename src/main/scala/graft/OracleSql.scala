@@ -186,6 +186,15 @@ object OracleSql {
          |SELECT CAST(count(*) AS BIGINT) AS triangles
          |FROM e e1 JOIN e e2 ON e1.b = e2.a JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin,
 
+    "tc_pervertex" ->
+      s"""WITH cp AS ($CP), e AS (SELECT src AS a, dst AS b FROM cp),
+         | tri AS (
+         |  SELECT e1.a, e1.b, e2.b AS c
+         |  FROM e e1 JOIN e e2 ON e1.b = e2.a JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+         |SELECT id, CAST(count(*) AS BIGINT) AS tri_cnt
+         |FROM (SELECT unnest([a, b, c]) AS id FROM tri)
+         |GROUP BY id ORDER BY id""".stripMargin,
+
     "bfs5" ->
       s"WITH $UND,\n ${relaxRounds(5, weighted = false)}\nSELECT id, dist FROM d5 WHERE dist IS NOT NULL ORDER BY id",
 

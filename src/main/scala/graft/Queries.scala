@@ -112,6 +112,9 @@ object Queries {
     "tc" -> ((s, dir) =>
       TriangleCount.count(TestGraphs.copurchase(s, dir))),
 
+    "tc_pervertex" -> ((s, dir) =>
+      TriangleCount.perVertex(TestGraphs.copurchase(s, dir)).orderBy("id")),
+
     // --- BFS / SSSP (A5): 5 unrolled min-plus rounds ----------------------
     "bfs5" -> ((s, dir) => {
       val e = und(s, dir)
