@@ -21,6 +21,23 @@ final case class EdgeBlock(blockId: Int, src: Long,
   */
 object GraphOps {
 
+  /** S1 — text edge-list reader (LA3's converter input format): whitespace-
+    * separated `src dst [weight]` lines; blank lines and `#` comments
+    * skipped; missing weight = 1.0. Schema-on-read via the csv source so
+    * parsing stays distributed and pushdown-friendly.
+    */
+  def readEdgeList(spark: org.apache.spark.sql.SparkSession,
+                   path: String): DataFrame =
+    spark.read
+      .option("delimiter", " ")
+      .option("comment", "#")
+      .option("mode", "PERMISSIVE") // 2-field rows → null weight, kept
+      .schema("src LONG, dst LONG, weight DOUBLE")
+      .csv(path)
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .select(col("src"), col("dst"),
+        coalesce(col("weight"), lit(1.0)).as("weight"))
+
   /** G1 — dedup + self-loop policy. */
   def simplify(edges: DataFrame, dropSelfLoops: Boolean = true): DataFrame = {
     val e = edges.select("src", "dst").distinct()
