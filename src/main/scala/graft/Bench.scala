@@ -1,5 +1,11 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Driver bench harness: times every SparkEntry query at SPARK_GRAFT_SF_DIR
+  * and emits ONE bare JSON line on stdout (build.sbt sets StdoutOutput so
+  * sbt does not decorate it). Failed queries are recorded under "errors"
+  * and excluded from the total instead of silently improving it.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -12,21 +18,38 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up at smoke scale: the first queries executed otherwise absorb
     // all JIT/codegen compilation (measured ±3x ordering noise at sf0.1).
-    val warmDir = "/root/testdata/sf0.001"
-    if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
-      SparkEntry.queries.foreach { case (_, fn) =>
-        try { fn(spark, warmDir).count() } catch { case _: Throwable => }
+    // Paths are canonicalized so a trailing slash or symlink can't skip the
+    // warm-up; when timing the smoke scale itself, warm on the same dir.
+    def canon(p: String): String =
+      try new java.io.File(p).getCanonicalPath catch { case _: Throwable => p }
+    val warmCandidate = "/root/testdata/sf0.001"
+    val warmDir =
+      if (new java.io.File(warmCandidate).isDirectory) warmCandidate else sfDir
+    val effectiveWarm = if (canon(warmDir) == canon(sfDir)) sfDir else warmDir
+    SparkEntry.queries.foreach { case (name, fn) =>
+      try { fn(spark, effectiveWarm).count(); () } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] warm-up $name failed: ${e.getMessage}")
       }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+      }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val good = results.collect { case (n, s, true) => n -> s }
+    val bad = results.collect { case (n, _, false) => n }
+    val qs = good.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = bad.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = good.map(_._2).sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    System.out.println(line)
+    System.out.flush()
     spark.stop()
   }
 }

@@ -287,6 +287,9 @@ object OracleSql {
          |SELECT doc_id, array_to_string(list_sort(list(md5(shingle)))[1:4], ',') AS fingerprint
          |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    "corpus_sha" ->
+      "SELECT doc_id, sha256(text) AS sha FROM documents ORDER BY doc_id",
+
     "multimodal_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(substr(text, 1, 64))) AS BIGINT) AS payload_bytes,

@@ -5,9 +5,10 @@ import org.apache.spark.sql.functions._
 
 import graft.algos.{ConnectedComponents, LabelPropagation, PageRank, Paths, TriangleCount}
 import graft.ann.Similarity
+import graft.corpus.CorpusGen
 import graft.dedup.Dedup
-import graft.engine.SuperstepConfig
-import graft.graph.{GraphOps, TestGraphs}
+import graft.engine.{CheckpointStore, SuperstepConfig}
+import graft.graph.{EdgeDerivation, GraphOps, TestGraphs}
 import graft.multimodal.Multimodal
 import graft.text.TextOps
 
@@ -117,7 +118,9 @@ object Queries {
 
     // --- BFS / SSSP (A5): 5 unrolled min-plus rounds ----------------------
     "bfs5" -> ((s, dir) => {
-      val e = und(s, dir)
+      // materialized once: rounds and the source agg reuse cached blocks
+      // instead of re-running the co-purchase derivation k+1 times
+      val e = und(s, dir).localCheckpoint(true)
       Paths.fixedRounds(e, e.agg(min(col("src"))), 5, weighted = false)
         .where(col("dist").isNotNull).orderBy("id")
     }),
@@ -128,6 +131,7 @@ object Queries {
           col("weight").cast("double").as("weight"))
         .union(cp.select(col("dst"), col("src"),
           col("weight").cast("double")))
+        .localCheckpoint(true)
       Paths.fixedRounds(ew, ew.select(col("src")).agg(min(col("src"))), 5,
           weighted = true)
         .where(col("dist").isNotNull).orderBy("id")
@@ -158,6 +162,12 @@ object Queries {
 
     "doc_fingerprint" -> ((s, dir) =>
       TextOps.fingerprint(docs(s, dir)).orderBy("doc_id")),
+
+    // --- per-row content invariant (BASELINE.json input_hint) -------------
+    "corpus_sha" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), sha2(col("text"), 256).as("sha"))
+        .orderBy("doc_id")),
 
     // --- multimodal plumbing ----------------------------------------------
     "multimodal_meta" -> ((s, dir) =>
@@ -192,7 +202,73 @@ object Queries {
     // production minhash banding (xxhash64 — not reproducible in DuckDB)
     "minhash_buckets_xx" -> ((s, dir) =>
       Dedup.minhashBucketsXx(docs(s, dir), 3, 8, 2)
-        .orderBy("doc_id", "band"))
+        .orderBy("doc_id", "band")),
+
+    // multi-table LSH ANN (band-OR over 4 tables + bucket cap; recall<1 by
+    // design — the exact-recall gate lives in SimilaritySpec vs ann_top5)
+    "ann_multi_top5" -> ((s, dir) =>
+      Similarity.annTopKMulti(emb(s, dir), 8, 4, 5)
+        .select("query_id", "neighbor_id", "rk", "cos")
+        .orderBy("query_id", "rk")),
+
+    // --- spec-mandated corpus path (G8), synthesized in-query -------------
+    // deterministic CorpusGen corpus → dense ids → co-change / import edges
+    "g_cochange_corpus" -> ((s, dir) => {
+      val corpus = CorpusGen.generate(s, 20, 30, 8)
+      val ids = EdgeDerivation.idMap(corpus,
+        s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+        .localCheckpoint(true)
+      EdgeDerivation.coChangeEdges(corpus, ids).orderBy("src", "dst")
+    }),
+
+    "g_import_corpus" -> ((s, dir) => {
+      val corpus = CorpusGen.generate(s, 20, 30, 8)
+      val ids = EdgeDerivation.idMap(corpus,
+        s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+        .localCheckpoint(true)
+      EdgeDerivation.importEdges(corpus, ids).orderBy("src", "dst")
+    }),
+
+    // resume-then-continue PR through the durable snapshot store: run 1 is
+    // killed at superstep 3; run 2 resumes from its latest manifest and
+    // continues to convergence (CheckpointSpec proves resume ≡ straight).
+    "pr_resume" -> ((s, dir) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-resume").toString
+      val e = TestGraphs.copurchase(s, dir)
+        .where(col("weight") >= 2).select("src", "dst")
+        .localCheckpoint(true)
+      val ck = new CheckpointStore(base, "pr", "driver")
+      PageRank.run(s, e, cfg(s).copy(tol = 1e-6, maxIter = 3,
+        checkpoint = Some(ck), durableEvery = 2))
+      PageRank.run(s, e, cfg(s).copy(tol = 1e-6, maxIter = 25,
+        checkpoint = Some(ck), durableEvery = 5), resume = true)
+        .state.select(col("id"), round(col("rank"), 6).as("pr"))
+        .orderBy("id")
+    }),
+
+    // converged engine runs (no fixed-k): LP to fixpoint, SSSP to fixpoint
+    "lp_converged" -> ((s, dir) => {
+      val cpf = TestGraphs.copurchase(s, dir)
+        .where(col("weight") >= 2).select("src", "dst")
+      val und = GraphOps.symmetrize(cpf).localCheckpoint(true)
+      LabelPropagation.run(s, und, maxRounds = 30,
+        numPartitions =
+          s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+        ._1.orderBy("id")
+    }),
+
+    "sssp_converged" -> ((s, dir) => {
+      val cp = TestGraphs.copurchase(s, dir)
+      val ew = cp.select(col("src"), col("dst"),
+          col("weight").cast("double").as("weight"))
+        .union(cp.select(col("dst"), col("src"),
+          col("weight").cast("double")))
+        .localCheckpoint(true)
+      val src0 = ew.agg(min(col("src"))).head().getLong(0)
+      Paths.sssp(s, ew, src0, cfg(s).copy(maxIter = 50))
+        .state.where(col("dist").isNotNull).orderBy("id")
+    })
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =

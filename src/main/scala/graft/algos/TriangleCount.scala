@@ -6,21 +6,45 @@ import org.apache.spark.sql.functions._
 import graft.graph.GraphOps
 
 /** Triangle counting (SURVEY.md §2.4 A4, §3.3): orient each undirected edge
-  * a<b, build wedges a<b<c with two joins, close with a left-semi join —
-  * each triangle counted exactly once. Not the iterate kernel: LA3's TC is
-  * likewise a two-phase neighborhood-exchange + intersection app.
+  * low→high by (degree, id), build wedges with one self-join, close with a
+  * left-semi join — each triangle counted exactly once. Not the iterate
+  * kernel: LA3's TC is likewise a two-phase neighborhood-exchange +
+  * intersection app.
   *
-  * Scale notes: wedge generation is the quadratic-in-degree step — the
-  * oriented b-join fans out by forward-degree only (orientation caps hub
-  * blowup: a hub's wedge count depends on its higher-id neighbors only),
-  * and AQE skew-join covers residual skew. The closing join is left-semi
-  * (no payload moves).
+  * Scale notes: wedge generation is the quadratic-in-degree step. Orienting
+  * by (degree, id) instead of raw id is the standard wedge reducer — every
+  * vertex's forward-degree is then ≤ √(2m)-ish, so hub vertices (whose
+  * id-ordered forward-degree can be Θ(deg)) no longer dominate the wedge
+  * fan-out. The count is orientation-invariant, so the oracle is unchanged.
+  * The oriented edge set is materialized once and reused by all three plan
+  * legs (two wedge sides + closing), instead of re-running the upstream
+  * derivation per leg. The closing join is left-semi (no payload moves).
   */
 object TriangleCount {
 
+  /** Canonical simple edges oriented low→high in the (degree, id) total
+    * order, materialized. Degree = undirected simple-graph degree.
+    */
+  private def orientedByDegree(edges: DataFrame): DataFrame = {
+    val und = GraphOps.orient(edges).localCheckpoint(true)
+    val deg = und.select(col("src").as("id"))
+      .union(und.select(col("dst").as("id")))
+      .groupBy("id")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("deg"))
+    val fwd = und
+      .join(deg.toDF("src", "dsrc"), "src")
+      .join(deg.toDF("dst", "ddst"), "dst")
+    val srcFirst = col("dsrc") < col("ddst") ||
+      (col("dsrc") === col("ddst") && col("src") < col("dst"))
+    fwd.select(
+        when(srcFirst, col("src")).otherwise(col("dst")).as("src"),
+        when(srcFirst, col("dst")).otherwise(col("src")).as("dst"))
+      .localCheckpoint(true)
+  }
+
   /** Global triangle count; single row (triangles: long). */
   def count(edges: DataFrame): DataFrame = {
-    val e = GraphOps.orient(edges)
+    val e = orientedByDegree(edges)
     val e1 = e.select(col("src").as("a"), col("dst").as("b"))
     val e2 = e.select(col("src").as("b"), col("dst").as("c"))
     val wedges = e1.join(e2, "b").select("a", "c")
@@ -33,7 +57,7 @@ object TriangleCount {
     * wedge credits all three corners.
     */
   def perVertex(edges: DataFrame): DataFrame = {
-    val e = GraphOps.orient(edges)
+    val e = orientedByDegree(edges)
     val e1 = e.select(col("src").as("a"), col("dst").as("b"))
     val e2 = e.select(col("src").as("b"), col("dst").as("c"))
     val wedges = e1.join(e2, "b").select("a", "b", "c")

@@ -100,6 +100,69 @@ object Similarity {
     emb.select(col(idCol), sig.as("bucket"))
   }
 
+  /** Multi-table random-hyperplane LSH bucket rows (id, tbl, bucket):
+    * `tables` independent `bits`-bit signatures. Hyperplane weights are
+    * precomputed deterministic ±1 LITERAL arrays per (table, plane), so each
+    * plane's projection is one codegen'd [[graft.functions.DotProduct]]
+    * over the vector — not an interpreted per-element HOF. `dim` is the
+    * embedding dimensionality (one cheap head() at the call site).
+    */
+  def lshBucketsMulti(emb: DataFrame, bits: Int, tables: Int, dim: Int,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    def w(t: Int, b: Int, i: Int): Double =
+      if ((scala.util.hashing.MurmurHash3.productHash((t, b, i)) & 1) == 0)
+        1.0 else -1.0
+    val tableCols = (0 until tables).map { t =>
+      (0 until bits).map { b =>
+        val plane = array((0 until dim).map(i => lit(w(t, b, i))): _*)
+        when(dotD(col("__vd"), plane) > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _).as(s"bkt$t")
+    }
+    val stackArgs = (0 until tables).map(t => s"$t, bkt$t").mkString(", ")
+    emb.select(col(idCol),
+        transform(col(vecCol), x => x.cast("double")).as("__vd"))
+      .select(col(idCol) +: tableCols: _*)
+      .selectExpr(idCol, s"stack($tables, $stackArgs) AS (tbl, bucket)")
+  }
+
+  /** ANN top-k with band-OR over multiple independent LSH tables plus a
+    * bucket-size cap (SURVEY-grade scale path): a pair is a candidate if it
+    * shares a bucket in ANY table; buckets larger than `maxBucket` are
+    * dropped (hot-bucket guard — one degenerate bucket cannot go
+    * quadratic). More tables → higher recall at linear candidate cost.
+    */
+  def annTopKMulti(emb: DataFrame, bits: Int, tables: Int, k: Int,
+                   maxBucket: Long = 10000,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val dimRow = emb.select(size(col(vecCol)).as("d")).limit(1).collect()
+    if (dimRow.isEmpty) return topK(emb, emb, k, idCol, vecCol)
+    val dim = dimRow.head.getInt(0)
+    val bk = lshBucketsMulti(emb, bits, tables, dim, idCol, vecCol)
+      .localCheckpoint(true)
+    val small = bk.groupBy("tbl", "bucket")
+      .agg(count(lit(1)).as("__bsz"))
+      .where(col("__bsz") <= maxBucket)
+      .select("tbl", "bucket")
+    val capped = bk.join(small, Seq("tbl", "bucket"))
+    val cand = capped.toDF("tbl", "bucket", "query_id")
+      .join(capped.toDF("tbl", "bucket", "neighbor_id"), Seq("tbl", "bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val p = prepped(emb, idCol, vecCol)
+    val scored = cand
+      .join(p.toDF("query_id", "qv", "qn"), "query_id")
+      .join(p.toDF("neighbor_id", "cv", "cn"), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(dotD(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
+          .as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+  }
+
   /** ANN top-k via LSH buckets: candidates share a bucket; exact cosine +
     * rank inside the bucket. Recall < 1 by construction — this is the
     * throughput-oriented variant; [[topK]] is the exact baseline.

@@ -68,14 +68,22 @@ final class CheckpointStore(base: String, algo: String, runId: String) {
     total
   }
 
-  /** Latest superstep with a committed manifest, if any. */
+  /** Latest superstep with a committed manifest, if any. The pattern is
+    * anchored (full-name match) so a leftover `manifest-N.json.tmp` from a
+    * crash mid-write is NOT counted as committed.
+    */
   def latestComplete(): Option[Int] = {
     if (!Files.isDirectory(root)) return None
-    val re = "manifest-(\\d+)\\.json".r
-    Files.list(root).iterator().asScala
-      .flatMap(p => re.findFirstMatchIn(p.getFileName.toString)
-        .map(_.group(1).toInt))
-      .reduceOption(_ max _)
+    val re = "^manifest-(\\d+)\\.json$".r
+    val stream = Files.list(root)
+    try {
+      stream.iterator().asScala
+        .flatMap(p => re.findFirstMatchIn(p.getFileName.toString)
+          .filter(m => m.matched == p.getFileName.toString)
+          .map(_.group(1).toInt))
+        .toList
+        .reduceOption(_ max _)
+    } finally stream.close()
   }
 
   def read(spark: SparkSession, s: Int): DataFrame =

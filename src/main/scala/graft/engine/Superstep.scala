@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Loop configuration (SURVEY.md §3.4, §4.3).
@@ -8,15 +8,28 @@ import org.apache.spark.sql.functions._
   * @param maxIter      superstep cap
   * @param tol          stationary convergence: stop when max(residual) < tol
   * @param numPartitions fixed partition count for the co-partitioning the
-  *                     whole loop reuses (= LA3's process-grid dimension)
+  *                     whole loop reuses (= LA3's process-grid size)
   * @param broadcastFrontierBelow broadcast the frontier side of the gather
-  *                     join when its row count drops below this (LA3's
-  *                     column-broadcast of active x-segments)
+  *                     join when its row count is below this (LA3's
+  *                     column-broadcast of active x-segments). Also the
+  *                     layout switch: graphs whose vertex count exceeds it
+  *                     use the 2D grid layout, where a too-large frontier
+  *                     is shuffled ×√P instead of broadcast ×P.
   * @param checkpoint   durable snapshot store; None = in-memory only
   *                     (localCheckpoint lineage truncation each round)
   * @param durableEvery write a durable snapshot every k supersteps
   * @param hubTau       explicit skew handling: salt-split adjacency of
   *                     vertices with out-degree > tau (SURVEY.md §2.2 G7)
+  * @param gridSide     Some(g): force the 2D (srcBlk, dstBlk) g×g grid edge
+  *                     layout (SURVEY.md §2.2 G5 full design); None = auto
+  *                     (grid iff the vertex count ≥ broadcastFrontierBelow)
+  * @param batchSize    supersteps composed lazily per materializing action —
+  *                     amortizes the per-superstep serial term (planning +
+  *                     dispatch, measured ~1 s/superstep at local[32]).
+  *                     Convergence is checked at batch boundaries, so a run
+  *                     may execute up to batchSize-1 extra (no-op) supersteps
+  *                     past convergence; results are unaffected (converged
+  *                     state is a fixpoint).
   */
 final case class SuperstepConfig(
     maxIter: Int = 100,
@@ -25,7 +38,9 @@ final case class SuperstepConfig(
     broadcastFrontierBelow: Long = 2L * 1000 * 1000,
     checkpoint: Option[CheckpointStore] = None,
     durableEvery: Int = 1,
-    hubTau: Option[Long] = None)
+    hubTau: Option[Long] = None,
+    gridSide: Option[Int] = None,
+    batchSize: Int = 1)
 
 final case class SuperstepResult(
     state: DataFrame, supersteps: Int, converged: Boolean,
@@ -39,11 +54,34 @@ final case class SuperstepResult(
   * state' = state ⟕ msgs on id        |> apply
   * }}}
   *
-  * Scale discipline (SURVEY.md §3.4): edges are hash-co-partitioned by src
-  * and materialized once — only frontier/messages move per superstep; the
-  * plan is truncated every round (localCheckpoint or durable parquet
-  * snapshot) so lineage depth stays O(1); exactly one expensive action per
-  * superstep, with convergence metrics read off the materialized state.
+  * Edge layouts (chosen once per run, all materialized exactly once):
+  *
+  *  - '''dst layout''' (small graphs, |V| < broadcastFrontierBelow): edges
+  *    hash-co-partitioned by dst; the frontier is broadcast (bounded by the
+  *    threshold — frontier ⊆ V), and gather join + combine agg + apply join
+  *    all run partition-local: ZERO exchanges per superstep. Best on a
+  *    single box, where shuffle throughput does not scale with cores.
+  *
+  *  - '''2D grid layout''' (G5 full design — large graphs or forced via
+  *    gridSide): edges carry (srcBlk, dstBlk) = (hash(src) mod g,
+  *    hash(dst) mod g) and are hash-co-partitioned by both. A large
+  *    frontier is replicated ×g (NOT ×P) across its srcBlk row of tiles and
+  *    shuffled; the gather join is partition-local on the edge side; the
+  *    combine agg partially aggregates in-tile (≤ g partial rows per dst)
+  *    then exchanges by id; the apply join is co-partitioned. Per-superstep
+  *    exchanged volume is O(g·|frontier| + g·|active dst|) — the LA3 ×√P
+  *    property — with no driver-side whole-frontier broadcast build. Small
+  *    frontiers still use a broadcast gather join adaptively
+  *    (broadcastFrontierBelow is honored on EVERY path).
+  *
+  *  - '''salt layout''' (hubTau): src+salt co-partitioning spreads
+  *    pathological hub adjacency across partitions.
+  *
+  * Scale discipline (SURVEY.md §3.4): only frontier/messages move per
+  * superstep; the plan is truncated every batch (localCheckpoint or durable
+  * parquet snapshot) so lineage depth stays O(1); exactly one expensive
+  * action per batch, with convergence metrics read off the materialized
+  * state.
   */
 object Superstep {
 
@@ -55,7 +93,7 @@ object Superstep {
     // - AQE re-plans every shuffle — worth it for one big query, pure
     //   scheduling overhead for hundreds of small identical superstep jobs
     //   (measured ~30% of superstep wall at sf0.1). Skew inside the loop is
-    //   handled explicitly (hubTau).
+    //   handled explicitly (hubTau / grid).
     // - preferSortMergeJoin=false: the gather join must be shuffled-hash —
     //   SMJ would re-sort the (big, already co-partitioned) edge side by
     //   the join key every superstep.
@@ -77,56 +115,26 @@ object Superstep {
     } finally restore.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  private def blkOf(c: Column, g: Int): Column =
+    pmod(xxhash64(c), lit(g.toLong)).cast("int")
+
   private def runLoop(spark: SparkSession, edges: DataFrame,
                       graphVertices: DataFrame, vp: VertexProgram,
                       cfg: SuperstepConfig, resume: Boolean): SuperstepResult = {
     val n = cfg.numPartitions
 
-    // --- one-time graph prep ---
-    // LA3's 2D tiling insight, 1D-projected for Spark: the per-superstep
-    // y-reduction (groupBy dst) must be SHUFFLE-FREE, because shuffle
-    // throughput does not scale with cores in a single box (measured: a
-    // shuffle-heavy agg ran 4.7s at 8 cores and 4.4s at 32). So edges are
-    // hash-co-partitioned by DST once; each superstep broadcasts the
-    // frontier (LA3's column-broadcast of active x-segments) and the
-    // gather join + combine aggregate + apply join all run partition-local
-    // — zero exchanges per superstep.
-    //
-    // With hubTau set, the alternative src+salt co-partitioned path spreads
-    // pathological hub adjacency across partitions (shuffled-hash join on
-    // (src, salt)); it trades the broadcast for a frontier shuffle.
     val withW =
       if (vp.usesEdgeWeight && edges.columns.contains("weight"))
         edges.select(col("src"), col("dst"), col("weight").cast("double"))
       else if (vp.usesEdgeWeight)
         edges.select(col("src"), col("dst"), lit(1.0).as("weight"))
       else edges.select(col("src"), col("dst"))
-    val saltMode = cfg.hubTau.isDefined
-    val (eB, joinKeys) = cfg.hubTau match {
-      case Some(tau) =>
-        val salted = graft.graph.GraphOps
-          .splitHubs(withW.withColumn("weight",
-            if (vp.usesEdgeWeight) col("weight") else lit(1.0)), tau)
-          .repartition(n, col("src"), col("salt"))
-          .sortWithinPartitions("src", "dst")
-        (salted.localCheckpoint(true), Seq("src", "salt"))
-      case None =>
-        val plain = withW
-          .repartition(n, col("dst"))
-          .sortWithinPartitions("dst", "src")
-        (plain.localCheckpoint(true), Seq("src"))
-    }
-    // src → number of salt groups (1 for non-hubs); tiny unless pathological.
-    // Only materialized when hub splitting is on.
-    lazy val saltMap = eB.select("src", "nsalts").distinct()
-      .repartition(n, col("src")).localCheckpoint(true)
-    val anyHubs = saltMode &&
-      saltMap.where(col("nsalts") > 1).limit(1).count() > 0
 
-    // --- init or resume ---
+    // --- init or resume (before edge prep: the layout choice needs |V|) ---
     var (startStep, state) = cfg.checkpoint.flatMap { ck =>
       if (resume) ck.latestComplete().map { s =>
-        (s + 1, ck.read(spark, s))
+        (s + 1, ck.read(spark, s).repartition(n, col("id"))
+          .localCheckpoint(true))
       } else None
     }.getOrElse {
       val s0 = vp.initState(graphVertices)
@@ -135,64 +143,125 @@ object Superstep {
         .localCheckpoint(true)
       (0, s0)
     }
+    val numVertices = state.count()
+
+    // --- one-time edge prep: pick ONE layout for the whole run ---
+    val saltMode = cfg.hubTau.isDefined
+    val gridMode = !saltMode && (cfg.gridSide.isDefined ||
+      numVertices >= cfg.broadcastFrontierBelow)
+    val g = cfg.gridSide.getOrElse(
+      math.max(2, math.round(math.sqrt(n.toDouble)).toInt))
+    val (eB, joinKeys) =
+      if (saltMode) {
+        val tau = cfg.hubTau.get
+        val salted = graft.graph.GraphOps
+          .splitHubs(withW.withColumn("weight",
+            if (vp.usesEdgeWeight) col("weight") else lit(1.0)), tau)
+          .repartition(n, col("src"), col("salt"))
+          .sortWithinPartitions("src", "dst")
+        (salted.localCheckpoint(true), Seq("src", "salt"))
+      } else if (gridMode) {
+        val tiled = withW
+          .withColumn("srcBlk", blkOf(col("src"), g))
+          .withColumn("dstBlk", blkOf(col("dst"), g))
+          .repartition(n, col("srcBlk"), col("dstBlk"))
+          .sortWithinPartitions("src", "dst")
+        (tiled.localCheckpoint(true), Seq("srcBlk", "dstBlk", "src"))
+      } else {
+        val plain = withW
+          .repartition(n, col("dst"))
+          .sortWithinPartitions("dst", "src")
+        (plain.localCheckpoint(true), Seq("src"))
+      }
+    // src → number of salt groups (1 for non-hubs); tiny unless pathological.
+    // Only materialized when hub splitting is on.
+    lazy val saltMap = eB.select("src", "nsalts").distinct()
+      .repartition(n, col("src")).localCheckpoint(true)
+    val anyHubs = saltMode &&
+      saltMap.where(col("nsalts") > 1).limit(1).count() > 0
 
     var metrics = Vector.empty[Map[String, String]]
     var converged = false
     var step = startStep
+    var lastDurable = startStep - 1
     var frontierSize = state.where(col("changed")).count()
 
-    while (step < cfg.maxIter && !converged) {
-      val t0 = System.nanoTime()
+    // One lazily-composed superstep: current state → next state.
+    def superstep(cur: DataFrame): DataFrame = {
       val frontierRaw =
-        if (vp.isStationary) state else state.where(col("changed"))
+        if (vp.isStationary) cur else cur.where(col("changed"))
       // LA3 communication filtering: only active vertices scatter. Project
-      // to the columns the gather expression actually reads before the
-      // broadcast — state bookkeeping columns don't belong on the wire.
+      // to the columns the gather expression actually reads — state
+      // bookkeeping columns don't belong on the wire.
       val gatherRefs = vp.gatherStateColumns.toSet
       val keepCols = frontierRaw.columns
         .filter(c => c == "id" || gatherRefs.contains(c))
       val frontier0 = frontierRaw.select(keepCols.map(col).toSeq: _*)
         .withColumnRenamed("id", "src")
-      // Hub replication: frontier rows for salted vertices go to every salt.
-      val frontier =
-        if (anyHubs)
-          frontier0.join(saltMap, "src")
-            .withColumn("salt", explode(sequence(lit(0), col("nsalts") - 1)))
-            .drop("nsalts")
-        else if (saltMode) frontier0.withColumn("salt", lit(0))
-        else frontier0
-      // Default (dst-partitioned) path: broadcast the frontier — the join
-      // streams the in-place edge partitions, and because gather output is
-      // already hash-distributed by dst(=id), the combine aggregate needs
-      // no exchange. Salt path: shuffled-hash join on (src, salt); the
-      // shuffle_hash hint is required because localCheckpointed inputs
-      // have unknown stats and the planner would fall back to sort-merge,
-      // re-sorting the edge side every superstep.
-      val frontierHinted =
-        if (!saltMode || frontierSize < cfg.broadcastFrontierBelow)
-          broadcast(frontier)
-        else frontier.hint("shuffle_hash")
-      val msgs = eB.join(frontierHinted, joinKeys)
+      val smallFrontier = frontierSize < cfg.broadcastFrontierBelow
+      val msgs =
+        if (saltMode) {
+          // Hub replication: frontier rows for salted vertices go to every
+          // salt; shuffled-hash join on (src, salt) unless small enough to
+          // broadcast. The shuffle_hash hint is required because
+          // localCheckpointed inputs have unknown stats and the planner
+          // would fall back to sort-merge, re-sorting the edge side.
+          val fr0 =
+            if (anyHubs)
+              frontier0.join(saltMap, "src")
+                .withColumn("salt",
+                  explode(sequence(lit(0), col("nsalts") - 1)))
+                .drop("nsalts")
+            else frontier0.withColumn("salt", lit(0))
+          val fr = if (smallFrontier) broadcast(fr0) else fr0.hint("shuffle_hash")
+          eB.join(fr, joinKeys)
+        } else if (gridMode && !smallFrontier) {
+          // Grid path: frontier replicated ×g across its srcBlk tile row and
+          // shuffled to the (srcBlk, dstBlk) co-partitioning; the edge side
+          // never moves (its HashPartitioning is a prefix of the join keys).
+          val fr = frontier0
+            .withColumn("srcBlk", blkOf(col("src"), g))
+            .withColumn("dstBlk",
+              explode(array((0 until g).map(b => lit(b)): _*)))
+            .hint("shuffle_hash")
+          eB.join(fr, joinKeys)
+        } else {
+          // Broadcast gather join (dst layout always — bounded by |V| <
+          // broadcastFrontierBelow; grid layout adaptively for small
+          // frontiers). Edge partitions stream in place.
+          eB.join(broadcast(frontier0), Seq("src"))
+        }
+      val agged = msgs
         .select(col("dst").as("id"), vp.gatherExpr.as("msg"))
         .groupBy("id")
         .agg(vp.combineExpr(col("msg")).as("agg"))
-      val newState =
-        vp.applyState(state.drop("changed"), msgs.hint("shuffle_hash"))
+      vp.applyState(cur.drop("changed"), agged.hint("shuffle_hash"))
+    }
 
-      // Materialize once: durable snapshot (Iceberg-shaped) or in-memory.
+    while (step < cfg.maxIter && !converged) {
+      val t0 = System.nanoTime()
+      val inner = math.min(math.max(1, cfg.batchSize), cfg.maxIter - step)
+      var newState = state
+      for (_ <- 1 to inner) newState = superstep(newState)
+      val stepAfter = step + inner
+
+      // Materialize once per batch: durable snapshot (Iceberg-shaped) or
+      // in-memory.
       val durable = cfg.checkpoint.isDefined &&
-        ((step + 1) % cfg.durableEvery == 0 || step + 1 == cfg.maxIter)
+        (stepAfter % cfg.durableEvery == 0 || stepAfter >= cfg.maxIter)
       val materialized =
         if (durable) {
           val ck = cfg.checkpoint.get
-          ck.write(step, newState, Map(
-            "superstep" -> step.toString,
+          ck.write(stepAfter - 1, newState, Map(
+            "superstep" -> (stepAfter - 1).toString,
             "frontier" -> frontierSize.toString,
             "wallMs" -> ((System.nanoTime() - t0) / 1000000).toString))
-          ck.read(spark, step)
+          lastDurable = stepAfter - 1
+          ck.read(spark, stepAfter - 1).repartition(n, col("id"))
+            .localCheckpoint(true)
         } else newState.localCheckpoint(false) // lazy: materialized by the
-      // metrics aggregate below — ONE job per superstep computes the
-      // pipeline, caches the state blocks, and truncates lineage.
+      // metrics aggregate below — ONE job per batch computes the pipeline,
+      // caches the state blocks, and truncates lineage.
       val resCol = vp.residualExpr.getOrElse(lit(0.0))
       val m = materialized.agg(
         sum(when(col("changed"), 1L).otherwise(0L)).as("nChanged"),
@@ -202,16 +271,30 @@ object Superstep {
       val residual = Option(m.get(1)).map(_.toString.toDouble).getOrElse(0.0)
       val wallMs = (System.nanoTime() - t0) / 1000000
       metrics :+= Map(
-        "superstep" -> step.toString, "rows" -> m.getLong(2).toString,
+        "superstep" -> (stepAfter - 1).toString,
+        "rows" -> m.getLong(2).toString,
         "changed" -> nChanged.toString, "residual" -> residual.toString,
-        "frontier" -> frontierSize.toString, "wallMs" -> wallMs.toString)
+        "frontier" -> frontierSize.toString, "wallMs" -> wallMs.toString,
+        "batch" -> inner.toString,
+        "layout" -> (if (saltMode) "salt" else if (gridMode) s"grid$g"
+                     else "dst"))
 
       state = materialized
       frontierSize = nChanged
       converged =
         if (vp.isStationary) vp.residualExpr.isDefined && residual < cfg.tol
         else nChanged == 0L
-      step += 1
+      step = stepAfter
+    }
+    // A run that converges between durable snapshots would otherwise leave
+    // its FINAL state un-checkpointed, making resume recompute supersteps
+    // from a stale snapshot. Write the final snapshot if it's missing.
+    cfg.checkpoint.foreach { ck =>
+      if (step > startStep && lastDurable != step - 1)
+        ck.write(step - 1, state, Map(
+          "superstep" -> (step - 1).toString,
+          "converged" -> converged.toString,
+          "frontier" -> frontierSize.toString))
     }
     SuperstepResult(state.drop("changed"), step, converged, metrics)
   }

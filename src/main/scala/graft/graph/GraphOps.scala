@@ -104,10 +104,17 @@ object GraphOps {
   def denseIds(keys: DataFrame, partitions: Int = 32): DataFrame = {
     val spark = keys.sparkSession
     import spark.implicits._
+    // Materialized ONCE before either job below: the range partitioner
+    // samples with an rdd-dependent seed, so re-executing the un-persisted
+    // plan could place partition bounds differently between the counts job
+    // and the id-assignment job, leaving the broadcast offsets stale and
+    // ids duplicated/skipped. localCheckpoint pins one physical placement
+    // that both jobs (and every downstream consumer) read.
     val sorted = keys.select(col(keys.columns.head).cast("string").as("key"))
       .distinct()
       .repartitionByRange(partitions, col("key"))
       .sortWithinPartitions("key")
+      .localCheckpoint(true)
       .as[String]
     val counts = sorted.mapPartitions { it =>
       Iterator.single((TaskContext.getPartitionId(), it.size.toLong))

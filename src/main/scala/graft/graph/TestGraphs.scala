@@ -60,11 +60,12 @@ object TestGraphs {
     */
   def userEvent(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = table(spark, sfDir, "events").select("user_id", "event_type")
-    val dict = ev.select("event_type").distinct()
-      .withColumn("type_id",
-        -dense_rank().over(org.apache.spark.sql.expressions.Window
-          .orderBy("event_type")).cast("long"))
-    ev.join(dict, "event_type")
+    // Dense ids via the scale-safe G2 operator (range-partitioned rank) —
+    // an unpartitioned dense_rank() window would move all rows to one
+    // partition, the exact pattern SURVEY.md §2.2 G2 bans.
+    val dict = GraphOps.denseIds(ev.select("event_type").distinct())
+      .select(col("key").as("event_type"), (-(col("id") + 1)).as("type_id"))
+    ev.join(broadcast(dict), "event_type")
       .select(col("user_id").as("src"), col("type_id").as("dst"))
       .groupBy("src", "dst")
       .agg(count(lit(1)).as("weight"))
