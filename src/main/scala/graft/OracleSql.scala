@@ -93,6 +93,16 @@ object OracleSql {
     (d0 +: rounds).mkString(",\n ")
   }
 
+  /** Unrolled k-core peeling over a symmetrized edge CTE named `cpf`. */
+  private def kcoreRounds(k: Int, rounds: Int): String = {
+    val head = "e0 AS (SELECT src, dst FROM cpf UNION SELECT dst, src FROM cpf)"
+    val rs = (1 to rounds).map { i =>
+      s"""k$i AS (SELECT src AS id FROM e${i - 1} GROUP BY 1 HAVING count(*) >= $k),
+         | e$i AS (SELECT e.src, e.dst FROM e${i - 1} e JOIN k$i a ON e.src = a.id JOIN k$i b ON e.dst = b.id)""".stripMargin
+    }
+    (head +: rs).mkString(",\n ")
+  }
+
   /** 16-bit md5 simhash: vote and bit-assembly expressions, fully
     * parenthesized (engine precedence safety).
     */
@@ -167,6 +177,23 @@ object OracleSql {
 
     "pr_top20" ->
       s"WITH $UND,\n ${prRounds(5)}\nSELECT id, round(pr, 6) AS pr FROM r5 ORDER BY round(pr, 6) DESC, id LIMIT 20",
+
+    "pr5_bipartite" ->
+      s"""WITH cp2 AS (
+         |  SELECT o.o_custkey AS src, l.l_partkey + 1000000000 AS dst
+         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         |  GROUP BY 1, 2),
+         | e AS (SELECT src, dst FROM cp2),
+         | v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         | d AS (SELECT src AS id, count(*) AS outdeg FROM e GROUP BY 1),
+         | ${prRounds(5)}
+         |SELECT id, round(pr, 6) AS pr FROM r5 ORDER BY id""".stripMargin,
+
+    "kcore3" ->
+      s"""WITH cp AS ($CP),
+         | cpf AS (SELECT src, dst FROM cp WHERE weight >= 2),
+         | ${kcoreRounds(3, 5)}
+         |SELECT src AS id, CAST(count(*) AS BIGINT) AS deg FROM e5 GROUP BY 1 ORDER BY id""".stripMargin,
 
     "cc" ->
       s"""WITH RECURSIVE cp AS ($CP),

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.algos.{ConnectedComponents, LabelPropagation, PageRank, Paths, TriangleCount}
+import graft.algos.{ConnectedComponents, KCore, LabelPropagation, PageRank, Paths, TriangleCount}
 import graft.ann.Similarity
 import graft.corpus.CorpusGen
 import graft.dedup.Dedup
@@ -97,6 +97,18 @@ object Queries {
         .select(col("id"), round(col("rank"), 6).as("pr"))
         .orderBy(col("pr").desc, col("id"))
         .limit(20)),
+
+    // --- PageRank on the bipartite repo→file analog (sources + sinks) ----
+    "pr5_bipartite" -> ((s, dir) =>
+      PageRank.fixedIterations(TestGraphs.custPart(s, dir), 5)
+        .select(col("id"), round(col("rank"), 6).as("pr"))
+        .orderBy("id")),
+
+    // --- k-core peeling (5 synchronous peels, k=3) ------------------------
+    "kcore3" -> ((s, dir) =>
+      KCore.peel(TestGraphs.copurchase(s, dir)
+        .where(col("weight") >= 2).select("src", "dst"), 3, 5)
+        .orderBy("id")),
 
     // --- connected components (A2): converged, exact ---------------------
     "cc" -> ((s, dir) => {
@@ -248,6 +260,12 @@ object Queries {
         .state.select(col("id"), round(col("rank"), 6).as("pr"))
         .orderBy("id")
     }),
+
+    // k-core peeled to the true fixpoint (data-dependent round count)
+    "kcore3_converged" -> ((s, dir) =>
+      KCore.converged(TestGraphs.copurchase(s, dir)
+        .where(col("weight") >= 2).select("src", "dst"), 3)
+        ._1.orderBy("id")),
 
     // converged engine runs (no fixed-k): LP to fixpoint, SSSP to fixpoint
     "lp_converged" -> ((s, dir) => {

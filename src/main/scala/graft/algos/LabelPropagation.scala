@@ -16,16 +16,26 @@ import graft.graph.GraphOps
   */
 object LabelPropagation {
 
-  /** One synchronous round. */
-  private def round(edges: DataFrame, labels: DataFrame): DataFrame = {
+  /** One synchronous round; withFlag adds a `chg` column so the convergence
+    * check can ride the materializing aggregate instead of a second action.
+    */
+  private def round(edges: DataFrame, labels: DataFrame,
+                    withFlag: Boolean = false): DataFrame = {
     val msgs = edges.join(labels.withColumnRenamed("id", "src"), "src")
       .groupBy(col("dst"), col("label"))
       .agg(count(lit(1)).as("cnt"))
     val best = msgs.groupBy(col("dst").as("id"))
       .agg(max_by(col("label"),
         struct(col("cnt"), (-col("label")).as("nl"))).as("newlabel"))
-    labels.join(best, Seq("id"), "left_outer")
-      .select(col("id"), coalesce(col("newlabel"), col("label")).as("label"))
+    val joined = labels.join(best, Seq("id"), "left_outer")
+    if (withFlag)
+      joined.select(col("id"),
+        coalesce(col("newlabel"), col("label")).as("label"),
+        (col("newlabel").isNotNull &&
+          col("newlabel") =!= col("label")).as("chg"))
+    else
+      joined.select(col("id"),
+        coalesce(col("newlabel"), col("label")).as("label"))
   }
 
   /** Lazily-composed fixed-k rounds (no actions) — oracle-checked path. */
@@ -49,10 +59,12 @@ object LabelPropagation {
     var r = 0
     var done = false
     while (r < maxRounds && !done) {
-      val next = round(e, labels).localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .where(col("label") =!= col("old")).limit(1).count()
-      labels = next
+      // ONE action per round: the lazy localCheckpoint is materialized by
+      // the changed-count aggregate (same shape as the Superstep kernel).
+      val next = round(e, labels, withFlag = true).localCheckpoint(false)
+      val m = next.agg(sum(when(col("chg"), 1L).otherwise(0L))).head()
+      val changed = if (m.isNullAt(0)) 0L else m.getLong(0)
+      labels = next.drop("chg")
       r += 1
       done = changed == 0
     }

@@ -145,6 +145,23 @@ class AlgosSpec extends SparkSpec {
       5L -> 1L))
   }
 
+  test("KCore.converged exact vs brute peeling") {
+    for ((seed, k) <- Seq((3, 2), (11, 3), (21, 3))) {
+      val g = Oracles.randomGraph(seed, 25, 70)
+      val verts = g.flatMap(e => Seq(e._1, e._2)).distinct
+      val exp = Oracles.bruteKCore(verts, g, k)
+      val (got, _) = KCore.converged(edgesDf(g), k)
+      assert(collectL(got, "id", "deg") === exp, s"seed $seed k $k")
+    }
+  }
+
+  test("KCore.peel with enough rounds reaches the converged core") {
+    val g = Oracles.randomGraph(11, 25, 70)
+    val verts = g.flatMap(e => Seq(e._1, e._2)).distinct
+    val exp = Oracles.bruteKCore(verts, g, 3)
+    assert(collectL(KCore.peel(edgesDf(g), 3, 25), "id", "deg") === exp)
+  }
+
   test("BFS/SSSP fixedRounds exact vs Bellman-Ford") {
     val g = Oracles.randomGraph(3, 20, 35)
     val und = g.flatMap { case (a, b) => Seq((a, b, (a + b % 5 + 1).toDouble),

@@ -118,6 +118,25 @@ object Oracles {
     cnt
   }
 
+  /** k-core by iterative peeling to fixpoint: survivors with their in-core
+    * degree on the symmetrized simple graph.
+    */
+  def bruteKCore(vertices: Seq[Long], edges: Seq[(Long, Long)],
+                 k: Int): Map[Long, Long] = {
+    var und = edges.flatMap { case (a, b) =>
+      if (a == b) Nil else Seq((a, b), (b, a))
+    }.distinct
+    var changed = true
+    while (changed) {
+      val deg = und.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val keep = deg.filter(_._2 >= k).keySet
+      val next = und.filter { case (a, b) => keep(a) && keep(b) }
+      changed = next.size != und.size
+      und = next
+    }
+    und.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+  }
+
   /** k rounds of Bellman-Ford (min distance over paths of ≤ k edges). */
   def bellmanFord(vertices: Seq[Long], edges: Seq[(Long, Long, Double)],
                   src: Long, rounds: Int): Map[Long, Double] = {
