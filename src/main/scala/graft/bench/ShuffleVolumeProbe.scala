@@ -59,29 +59,38 @@ object ShuffleVolumeProbe {
     val spark = graft.util.Sessions.local(8, "graft-shufflevol",
       shufflePartitions = 32)
     spark.sparkContext.setLogLevel("ERROR")
-    val edges = spark.range(nE.toLong)
+
+    def graph(m: Long) = spark.range(m)
       .select(pmod(xxhash64(col("id"), lit(1)), lit(nV.toLong)).as("src"),
         pmod(xxhash64(col("id"), lit(2)), lit(nV.toLong)).as("dst"))
       .where(col("src") =!= col("dst"))
       .localCheckpoint(true)
 
-    val lines = Seq(2, 4, 8).map { g =>
-      val (b1, r1) = measure(spark, edges, g, 2)
-      val (b2, r2) = measure(spark, edges, g, 10)
-      val perStepB = (b2 - b1) / 8.0
-      val perStepR = (r2 - r1) / 8.0
-      val line = f"""{"grid_side":$g,"shuffle_bytes_per_superstep":$perStepB%.0f,"shuffle_records_per_superstep":$perStepR%.0f}"""
-      println(line)
-      (g, perStepR, line)
+    // dense: avg out-degree ≫ g, every frontier row touches ~all g blocks
+    // (the ×√P upper bound); sparse: avg out-degree < g, the dstBlk-pruned
+    // replication (nonzero tiles only) keeps traffic ~flat in g.
+    val cases = Seq(("dense", graph(nE.toLong)),
+      ("sparse_deg3", graph(nV * 3L)))
+    val out = cases.flatMap { case (tag, edges) =>
+      val lines = Seq(2, 4, 8).map { g =>
+        val (b1, r1) = measure(spark, edges, g, 2)
+        val (b2, r2) = measure(spark, edges, g, 10)
+        val perStepB = (b2 - b1) / 8.0
+        val perStepR = (r2 - r1) / 8.0
+        val line = f"""{"case":"$tag%s","grid_side":$g,"shuffle_bytes_per_superstep":$perStepB%.0f,"shuffle_records_per_superstep":$perStepR%.0f}"""
+        println(line)
+        (g, perStepR, line)
+      }
+      val ratio84 = lines(2)._2 / lines(1)._2
+      val ratio42 = lines(1)._2 / lines(0)._2
+      val summary =
+        f"""{"case":"$tag%s","records_ratio_g4_to_g2":$ratio42%.2f,"records_ratio_g8_to_g4":$ratio84%.2f,"expected_if_sqrtP":2.0,"expected_if_P":4.0}"""
+      println(summary)
+      lines.map(_._3) :+ summary
     }
-    val ratio84 = lines(2)._2 / lines(1)._2
-    val ratio42 = lines(1)._2 / lines(0)._2
-    val summary =
-      f"""{"records_ratio_g4_to_g2":$ratio42%.2f,"records_ratio_g8_to_g4":$ratio84%.2f,"expected_if_sqrtP":2.0,"expected_if_P":4.0}"""
-    println(summary)
     Files.createDirectories(Paths.get("target/scaling"))
     Files.writeString(Paths.get("target/scaling/shuffle_volume.json"),
-      (lines.map(_._3) :+ summary).mkString("\n"))
+      out.mkString("\n"))
     spark.stop()
   }
 }

@@ -188,6 +188,17 @@ object Superstep {
       .repartition(n, col("src")).localCheckpoint(true)
     val anyHubs = saltMode &&
       saltMap.where(col("nsalts") > 1).limit(1).count() > 0
+    // Grid mode: src → the dst-blocks its edges actually touch (LA3 ships
+    // column segments only to tiles with nonzero entries). Frontier rows
+    // replicate to min(g, #blocks-with-edges) tiles instead of all g —
+    // a strict win whenever out-degree < g (the common case on power-law
+    // graphs at large P). Co-partitioned with the state (hash by src = id,
+    // same n) so the per-superstep pruning join adds no exchange.
+    val blkMap =
+      if (gridMode)
+        eB.groupBy("src").agg(collect_set(col("dstBlk")).as("dstBlks"))
+          .repartition(n, col("src")).localCheckpoint(true)
+      else null
 
     var metrics = Vector.empty[Map[String, String]]
     var converged = false
@@ -239,13 +250,16 @@ object Superstep {
           val fr = if (smallFrontier) broadcast(fr0) else fr0.hint("shuffle_hash")
           eB.join(fr, joinKeys)
         } else if (gridMode && !smallFrontier) {
-          // Grid path: frontier replicated ×g across its srcBlk tile row and
-          // shuffled to the (srcBlk, dstBlk) co-partitioning; the edge side
-          // never moves (its HashPartitioning is a prefix of the join keys).
+          // Grid path: frontier replicated to the dst-blocks its edges
+          // touch (≤ g) and shuffled to the (srcBlk, dstBlk)
+          // co-partitioning; the edge side never moves (its
+          // HashPartitioning is a prefix of the join keys). The blkMap
+          // pruning join is co-partitioned with the state — no exchange.
           val fr = frontier0
+            .join(blkMap.hint("shuffle_hash"), "src")
             .withColumn("srcBlk", blkOf(col("src"), g))
-            .withColumn("dstBlk",
-              explode(array((0 until g).map(b => lit(b)): _*)))
+            .withColumn("dstBlk", explode(col("dstBlks")))
+            .drop("dstBlks")
             .hint("shuffle_hash")
           eB.join(fr, joinKeys)
         } else {
