@@ -71,6 +71,23 @@ class GridKernelSpec extends SparkSpec {
     ra.foreach { case (k, v) => assert(math.abs(v - rb(k)) < 1e-12) }
   }
 
+  test("grid-mode resume from mid-run checkpoint equals straight-through") {
+    val base = java.nio.file.Files.createTempDirectory("graft-gridck").toString
+    val gcfg = cfg.copy(tol = 1e-8, gridSide = Some(2),
+      broadcastFrontierBelow = 1L, batchSize = 2)
+    val ref = collectD(PageRank.run(spark, edgesDf(g), gcfg).state,
+      "id", "rank")
+    val ck = new graft.engine.CheckpointStore(base, "pr", "grid")
+    PageRank.run(spark, edgesDf(g),
+      gcfg.copy(maxIter = 4, checkpoint = Some(ck), durableEvery = 2))
+    val r2 = PageRank.run(spark, edgesDf(g),
+      gcfg.copy(checkpoint = Some(ck)), resume = true)
+    assert(r2.converged)
+    collectD(r2.state, "id", "rank").foreach { case (k, v) =>
+      assert(math.abs(v - ref(k)) < 1e-9, s"vertex $k")
+    }
+  }
+
   test("SSSP converged on grid layout is exact") {
     val und = Seq((0L, 1L, 2.0), (1L, 2L, 2.0), (0L, 2L, 10.0), (2L, 3L, 1.0))
     val r = Paths.sssp(spark, edgesWDf(und), 0L,
