@@ -15,7 +15,8 @@ object ExplainDump {
     val spark = graft.util.Sessions.local(4, "graft-explain")
     spark.sparkContext.setLogLevel("ERROR")
     val names = Seq("g_copurchase", "degrees", "pr5", "tc", "dedup_minhash",
-      "embed_neardup", "ann_top5", "text_stats")
+      "dedup_simhash", "dedup_exact", "minhash_buckets_xx", "kcore3",
+      "embed_neardup", "ann_top5", "ann_multi_top5", "text_stats")
     val sb = new StringBuilder
     names.foreach { name =>
       val df = graft.Queries.all(name)(spark, sfDir)

@@ -102,7 +102,9 @@ object Dedup {
                    idCol: String = "doc_id",
                    textCol: String = "text",
                    maxDf: Option[Long] = None): DataFrame = {
+    // materialized once — referenced by both join sides and the sizes agg
     val sh = TextOps.shingleRows(docs, idCol, textCol, n)
+      .localCheckpoint(true)
     val sz = sh.groupBy(idCol).agg(count(lit(1)).as("n"))
     intersections(sh, maxDf)
       .join(sz.toDF("doc1", "n1"), "doc1")

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan-shape regression guards: the scale properties the engine claims are
+  * PLAN properties (what moves per superstep), so they are asserted on the
+  * physical plan text, not just on results. Mirrors the manual audit in
+  * [[graft.bench.GridProbe]].
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def fmt(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+
+  private def exchanges(plan: String): Int =
+    "\\(\\d+\\) Exchange".r.findAllIn(plan).size
+
+  test("grid superstep plan: 2 exchanges; edges and state never move") {
+    val s = spark
+    val n = 4
+    val g = 2
+    val restore = Seq(
+      "spark.sql.adaptive.enabled", "spark.sql.join.preferSortMergeJoin",
+      "spark.sql.shuffle.partitions",
+      "spark.sql.requireAllClusterKeysForCoPartition")
+      .map(k => k -> s.conf.getOption(k)).toMap
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    s.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    try {
+      def blk(c: org.apache.spark.sql.Column) =
+        pmod(xxhash64(c), lit(g.toLong)).cast("int")
+      val raw = s.range(10000)
+        .select((col("id") % 500).as("src"),
+          ((col("id") * 13 + 7) % 500).as("dst"))
+        .where(col("src") =!= col("dst"))
+      val eB = raw
+        .withColumn("srcBlk", blk(col("src")))
+        .withColumn("dstBlk", blk(col("dst")))
+        .repartition(n, col("srcBlk"), col("dstBlk"))
+        .sortWithinPartitions("src", "dst")
+        .localCheckpoint(true)
+      val state = raw.select(col("src").as("id")).distinct()
+        .withColumn("rank", lit(1.0)).withColumn("outdeg", lit(2L))
+        .repartition(n, col("id"))
+        .localCheckpoint(true)
+      val fr = state.withColumnRenamed("id", "src")
+        .withColumn("srcBlk", blk(col("src")))
+        .withColumn("dstBlk", explode(array((0 until g).map(lit): _*)))
+        .hint("shuffle_hash")
+      val msgs = eB.join(fr, Seq("srcBlk", "dstBlk", "src"))
+        .select(col("dst").as("id"),
+          (col("rank") / col("outdeg")).as("msg"))
+        .groupBy("id").agg(sum(col("msg")).as("agg"))
+      val next = state
+        .join(msgs.hint("shuffle_hash"), Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("agg"), lit(0.0)).as("rank"))
+      val plan = fmt(next)
+      // frontier shuffle + post-partial-agg message shuffle, nothing else:
+      // a third exchange means the edge tiles or the state moved.
+      assert(exchanges(plan) === 2, s"plan:\n$plan")
+      assert(!plan.contains("SortMergeJoin"), "SMJ would re-sort edges")
+    } finally restore.foreach { case (k, v) =>
+      v.fold(s.conf.unset(k))(s.conf.set(k, _))
+    }
+  }
+
+  test("derivation scan prunes columns: copurchase reads only 2 columns") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/lineitem.parquet").exists())
+    val plan = fmt(graft.graph.TestGraphs.copurchase(spark, dir))
+    val read = "ReadSchema: [^\\n]+".r.findFirstIn(plan).getOrElse("")
+    assert(read.contains("l_orderkey") && read.contains("l_partkey"),
+      s"got: $read")
+    assert(!read.contains("l_quantity") && !read.contains("l_comment"),
+      s"column pruning lost: $read")
+  }
+
+  test("dedup_exact plan carries digests, not document text, into the agg") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "some document body")).toDF("doc_id", "text")
+    val plan = fmt(graft.dedup.Dedup.exact(docs))
+    // the exchange feeding the final agg must key on the digest columns,
+    // and the raw text column must not flow through any exchange
+    val exch = plan.linesIterator.filter(_.contains("hashpartitioning"))
+      .mkString("\n")
+    assert(exch.contains("__hx") && exch.contains("__hm"),
+      s"group-by key not digest-first:\n$exch")
+    assert(!exch.contains("text#"), s"document text in the shuffle:\n$exch")
+  }
+}
