@@ -190,12 +190,18 @@ object Superstep {
       saltMap.where(col("nsalts") > 1).limit(1).count() > 0
     // Grid mode: src → the dst-blocks its edges actually touch (LA3 ships
     // column segments only to tiles with nonzero entries). Frontier rows
-    // replicate to min(g, #blocks-with-edges) tiles instead of all g —
-    // a strict win whenever out-degree < g (the common case on power-law
-    // graphs at large P). Co-partitioned with the state (hash by src = id,
-    // same n) so the per-superstep pruning join adds no exchange.
+    // then replicate to min(g, #blocks-with-edges) tiles instead of all g.
+    // Only engaged when the mean out-degree is below the grid side — on
+    // denser graphs nearly every src touches all g blocks and the pruning
+    // join is pure per-superstep overhead (measured +26% loop wall on the
+    // 74M-edge avg-degree-140 corpus graph at 8 cores). The join is
+    // co-partitioned with the state (hash by src = id, same n), no exchange.
+    val prunedScatter = gridMode && {
+      val nEdges = eB.count() // cheap: counts the checkpointed blocks
+      nEdges < numVertices.toDouble * g
+    }
     val blkMap =
-      if (gridMode)
+      if (prunedScatter)
         eB.groupBy("src").agg(collect_set(col("dstBlk")).as("dstBlks"))
           .repartition(n, col("src")).localCheckpoint(true)
       else null
@@ -250,18 +256,23 @@ object Superstep {
           val fr = if (smallFrontier) broadcast(fr0) else fr0.hint("shuffle_hash")
           eB.join(fr, joinKeys)
         } else if (gridMode && !smallFrontier) {
-          // Grid path: frontier replicated to the dst-blocks its edges
-          // touch (≤ g) and shuffled to the (srcBlk, dstBlk)
-          // co-partitioning; the edge side never moves (its
-          // HashPartitioning is a prefix of the join keys). The blkMap
-          // pruning join is co-partitioned with the state — no exchange.
-          val fr = frontier0
-            .join(blkMap.hint("shuffle_hash"), "src")
-            .withColumn("srcBlk", blkOf(col("src"), g))
-            .withColumn("dstBlk", explode(col("dstBlks")))
-            .drop("dstBlks")
-            .hint("shuffle_hash")
-          eB.join(fr, joinKeys)
+          // Grid path: frontier replicated across its srcBlk tile row —
+          // to the dst-blocks actually holding its edges when the scatter
+          // is pruned (sparse graphs), to all g otherwise — and shuffled
+          // to the (srcBlk, dstBlk) co-partitioning; the edge side never
+          // moves (its HashPartitioning is a prefix of the join keys).
+          val replicated =
+            if (prunedScatter)
+              frontier0.join(blkMap.hint("shuffle_hash"), "src")
+                .withColumn("srcBlk", blkOf(col("src"), g))
+                .withColumn("dstBlk", explode(col("dstBlks")))
+                .drop("dstBlks")
+            else
+              frontier0
+                .withColumn("srcBlk", blkOf(col("src"), g))
+                .withColumn("dstBlk",
+                  explode(array((0 until g).map(b => lit(b)): _*)))
+          eB.join(replicated.hint("shuffle_hash"), joinKeys)
         } else {
           // Broadcast gather join (dst layout always — bounded by |V| <
           // broadcastFrontierBelow; grid layout adaptively for small
