@@ -93,6 +93,20 @@ object OracleSql {
     (d0 +: rounds).mkString(",\n ")
   }
 
+  /** Personalized-PR rounds: teleport only to S (predicate on id). */
+  private def pprRounds(k: Int, pred: String => String): String = {
+    val rounds = (1 to k).map { i =>
+      s"""r$i AS (
+         |  SELECT v.id, (CASE WHEN ${pred("v.id")} THEN 0.15 ELSE 0.0 END) + 0.85 * coalesce(s.mass, 0.0) AS pr
+         |  FROM v LEFT JOIN (
+         |    SELECT e.dst AS id, sum(r.pr / d.outdeg) AS mass
+         |    FROM e JOIN r${i - 1} r ON e.src = r.id JOIN d ON e.src = d.id
+         |    GROUP BY e.dst) s ON v.id = s.id)""".stripMargin
+    }
+    (s"r0 AS (SELECT id, CASE WHEN ${pred("id")} THEN 1.0 ELSE 0.0 END AS pr FROM v)" +: rounds)
+      .mkString(",\n ")
+  }
+
   /** Unrolled k-core peeling over a symmetrized edge CTE named `cpf`. */
   private def kcoreRounds(k: Int, rounds: Int): String = {
     val head = "e0 AS (SELECT src, dst FROM cpf UNION SELECT dst, src FROM cpf)"
@@ -177,6 +191,9 @@ object OracleSql {
 
     "pr_top20" ->
       s"WITH $UND,\n ${prRounds(5)}\nSELECT id, round(pr, 6) AS pr FROM r5 ORDER BY round(pr, 6) DESC, id LIMIT 20",
+
+    "ppr5" ->
+      s"WITH $UND,\n ${pprRounds(5, c => s"$c % 100 = 0")}\nSELECT id, round(pr, 6) AS pr FROM r5 ORDER BY id",
 
     "pr5_bipartite" ->
       s"""WITH cp2 AS (

@@ -98,6 +98,13 @@ object Queries {
         .orderBy(col("pr").desc, col("id"))
         .limit(20)),
 
+    // --- personalized PR: teleport mass only to S = {id ≡ 0 mod 100} ------
+    "ppr5" -> ((s, dir) =>
+      PageRank.personalizedFixedIterations(und(s, dir),
+        id => pmod(id, lit(100L)) === 0, 5)
+        .select(col("id"), round(col("rank"), 6).as("pr"))
+        .orderBy("id")),
+
     // --- PageRank on the bipartite repo→file analog (sources + sinks) ----
     "pr5_bipartite" -> ((s, dir) =>
       PageRank.fixedIterations(TestGraphs.custPart(s, dir), 5)

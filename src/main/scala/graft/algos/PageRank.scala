@@ -119,6 +119,35 @@ object PageRank {
     loop.copy(state = all)
   }
 
+  /** Personalized PageRank, fixed-k unrolled (oracle path): teleport mass
+    * goes only to the source set S — r₀ = 1_S, r' = 0.15·1_S(v) + 0.85·mass.
+    * `sourcePred` maps the id column to the S-membership predicate (a
+    * Catalyst expression, so the whole plan stays codegen'd). With S = V
+    * this degenerates to [[fixedIterations]] exactly.
+    */
+  def personalizedFixedIterations(edges: DataFrame,
+                                  sourcePred: Column => Column,
+                                  k: Int): DataFrame = {
+    val e = edges.select("src", "dst")
+    val out = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val verts = GraphOps.vertices(e)
+    val eDeg = e.join(out, "src")
+    def tele(c: Column): Column =
+      when(sourcePred(c), lit(Teleport)).otherwise(lit(0.0))
+    var rank = verts.select(col("id"),
+      when(sourcePred(col("id")), lit(1.0)).otherwise(lit(0.0)).as("rank"))
+    for (_ <- 1 to k) {
+      val msgs = eDeg.join(rank.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), (col("rank") / col("outdeg")).as("m"))
+        .groupBy("id").agg(sum(col("m")).as("mass"))
+      rank = verts.join(msgs, Seq("id"), "left_outer")
+        .select(col("id"),
+          (tele(col("id")) +
+            lit(Damping) * coalesce(col("mass"), lit(0.0))).as("rank"))
+    }
+    rank
+  }
+
   /** Lazily-composed fixed-k iteration plan (no actions) — the
     * oracle-checked query path; trajectory matches the unrolled DuckDB SQL
     * exactly. Vertices = edge endpoints.

@@ -145,6 +145,27 @@ class AlgosSpec extends SparkSpec {
       5L -> 1L))
   }
 
+  test("personalized PR with S = V degenerates to standard fixed-k PR") {
+    val all = PageRank.personalizedFixedIterations(edgesDf(cyc),
+      _ => org.apache.spark.sql.functions.lit(true), 5)
+    val std = PageRank.fixedIterations(edgesDf(cyc), 5)
+    val a = collectD(all, "id", "rank")
+    val b = collectD(std, "id", "rank")
+    assert(a.keySet === b.keySet)
+    a.foreach { case (k, v) => assert(math.abs(v - b(k)) < 1e-12) }
+  }
+
+  test("personalized PR: mass reachable only from the source set") {
+    // line4: 0→1→2→3; S={0} ⇒ every rank positive downstream of 0, and
+    // teleport contributes only at 0
+    val r = collectD(PageRank.personalizedFixedIterations(edgesDf(line4),
+      id => id === 0L, 4), "id", "rank")
+    assert(math.abs(r(0L) - 0.15) < 1e-12)
+    assert(r(1L) > 0 && r(2L) > 0 && r(3L) > 0)
+    // vertex 3 gets only propagated mass: 0.85^3 * (initial 1.0 path decay)
+    assert(r.values.forall(_ >= 0.0))
+  }
+
   test("KCore.converged exact vs brute peeling") {
     for ((seed, k) <- Seq((3, 2), (11, 3), (21, 3))) {
       val g = Oracles.randomGraph(seed, 25, 70)
