@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.text.TextOps
+
+/** Streaming near-dup detection for a continuously-arriving document log:
+  * per-row minhash band buckets + stateful first-seen dedup.
+  *
+  * The batch minhash path ([[graft.dedup.Dedup.minhashBucketsXx]]) computes
+  * signatures as a wide aggregate over exploded shingle rows — the fastest
+  * batch shape, but it needs a groupBy over the whole doc's rows. A stream
+  * wants a PER-ROW signature instead (no shuffle, no state, works in append
+  * mode); here that is transform/array_min over the in-row shingle array.
+  * Interpreted HOF evaluation is the price — acceptable per-row on a
+  * stream, wrong for the batch hot path (measured 40×, BASELINE.md).
+  * Both spellings compute the IDENTICAL (doc_id, band, bucket) values —
+  * asserted in StreamDedupSpec — so stream-bucketed docs can be joined
+  * against batch-built bucket tables directly.
+  */
+object StreamDedup {
+
+  /** Per-row (doc_id, band, bucket) minhash band buckets — value-identical
+    * to `Dedup.minhashBucketsXx(docs, n, bands, rowsPerBand)`. Works on
+    * streaming DataFrames (no aggregation, no watermark needed).
+    */
+  def minhashBucketsPerRow(docs: DataFrame, n: Int, bands: Int,
+                           rowsPerBand: Int,
+                           idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sh: Column = TextOps.shingles(TextOps.tokens(col(textCol)), n)
+    val hCols = (0 until numHashes).map { i =>
+      array_min(transform(col("__sh"), s => xxhash64(lit(i), s))).as(s"h$i")
+    }
+    val bandCols = (0 until bands).map { b =>
+      val rows = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      xxhash64(rows: _*).as(s"b$b")
+    }
+    val stackArgs = (0 until bands).map(b => s"$b, b$b").mkString(", ")
+    docs.select(col(idCol), sh.as("__sh"))
+      .where(size(col("__sh")) > 0)
+      .select(col(idCol) +: hCols: _*)
+      .select(col(idCol) +: bandCols: _*)
+      .selectExpr(idCol, s"stack($bands, $stackArgs) AS (band, bucket)")
+  }
+
+  /** Streaming exact dedup: keeps the first doc_id seen per content digest
+    * in keyed state and emits (doc_id, keep_id, is_duplicate) per arriving
+    * document — the streaming analog of `Dedup.exact`. State is keyed by
+    * (xxhash64, md5) digest, never by document text.
+    */
+  def firstSeen(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).as("doc_id"),
+        concat_ws(":", xxhash64(col(textCol)), md5(col(textCol)))
+          .as("digest"))
+      .as[(Long, String)]
+      .groupByKey(_._2)
+      .mapGroupsWithState[Long, Seq[(Long, Long, Boolean)]](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (_, rows, state) =>
+          val sorted = rows.map(_._1).toSeq.sorted
+          val keep = state.getOption.getOrElse(sorted.head)
+          if (!state.exists) state.update(keep)
+          sorted.map(id => (id, keep, id != keep))
+      }
+      .flatMap(identity)
+      .toDF("doc_id", "keep_id", "is_duplicate")
+  }
+}
