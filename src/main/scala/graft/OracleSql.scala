@@ -76,6 +76,18 @@ object OracleSql {
     ("l0 AS (SELECT id, id AS label FROM v)" +: rounds).mkString(",\n ")
   }
 
+  /** Weighted-LP rounds: vote weight = Σ edge weight (needs e(src,dst,w)). */
+  private def wlpRounds(k: Int): String = {
+    val rounds = (1 to k).map { i =>
+      s"""b$i AS (
+         |  SELECT dst AS id, label AS newlabel FROM (
+         |    SELECT m.dst, m.label, row_number() OVER (PARTITION BY m.dst ORDER BY m.ws DESC, m.label ASC) AS rn
+         |    FROM (SELECT e.dst, l.label, sum(e.w) AS ws FROM e JOIN l${i - 1} l ON e.src = l.id GROUP BY 1, 2) m) WHERE rn = 1),
+         | l$i AS (SELECT l.id, coalesce(b.newlabel, l.label) AS label FROM l${i - 1} l LEFT JOIN b$i b ON l.id = b.id)""".stripMargin
+    }
+    ("l0 AS (SELECT id, id AS label FROM v)" +: rounds).mkString(",\n ")
+  }
+
   /** k rounds of min-plus relaxation from min(src); CASE instead of least()
     * for engine-agnostic null handling.
     */
@@ -224,6 +236,13 @@ object OracleSql {
 
     "lp5" ->
       s"WITH $UND,\n ${lpRounds(5)}\nSELECT id, label FROM l5 ORDER BY id",
+
+    "wlp5" ->
+      s"""WITH cp AS ($CP),
+         | e AS (SELECT src, dst, CAST(weight AS DOUBLE) AS w FROM cp UNION ALL SELECT dst, src, CAST(weight AS DOUBLE) FROM cp),
+         | v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         | ${wlpRounds(5)}
+         |SELECT id, label FROM l5 ORDER BY id""".stripMargin,
 
     "tc" ->
       s"""WITH cp AS ($CP), e AS (SELECT src AS a, dst AS b FROM cp)

@@ -128,6 +128,14 @@ object Queries {
     "lp5" -> ((s, dir) =>
       LabelPropagation.fixedRounds(und(s, dir), 5).orderBy("id")),
 
+    // --- weighted LP: votes weighted by co-purchase multiplicity ----------
+    "wlp5" -> ((s, dir) => {
+      val cp = TestGraphs.copurchase(s, dir)
+      val ew = cp.select(col("src"), col("dst"), col("weight"))
+        .union(cp.select(col("dst"), col("src"), col("weight")))
+      LabelPropagation.weightedFixedRounds(ew, 5).orderBy("id")
+    }),
+
     // --- triangle count (A4) ----------------------------------------------
     "tc" -> ((s, dir) =>
       TriangleCount.count(TestGraphs.copurchase(s, dir))),

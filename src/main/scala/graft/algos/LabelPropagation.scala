@@ -46,6 +46,30 @@ object LabelPropagation {
     labels
   }
 
+  /** Weighted synchronous LP: neighbor votes weighted by edge weight
+    * (Σ weight instead of count), ties broken toward the smallest label —
+    * same determinism discipline as the unweighted mode, so exact-match
+    * oracles stay achievable. Lazily-composed fixed-k rounds.
+    */
+  def weightedFixedRounds(edges: DataFrame, k: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"),
+      col("weight").cast("double").as("weight"))
+    var labels = GraphOps.vertices(e.select("src", "dst"))
+      .select(col("id"), col("id").as("label"))
+    for (_ <- 1 to k) {
+      val msgs = e.join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst"), col("label"))
+        .agg(sum(col("weight")).as("w"))
+      val best = msgs.groupBy(col("dst").as("id"))
+        .agg(max_by(col("label"),
+          struct(col("w"), (-col("label")).as("nl"))).as("newlabel"))
+      labels = labels.join(best, Seq("id"), "left_outer")
+        .select(col("id"),
+          coalesce(col("newlabel"), col("label")).as("label"))
+    }
+    labels
+  }
+
   /** Materializing variant: runs up to maxRounds, stops early when no label
     * changes; lineage truncated per round. Output: (id, label), rounds run.
     */

@@ -111,6 +111,22 @@ class AlgosSpec extends SparkSpec {
     }
   }
 
+  test("weighted LP with unit weights equals unweighted LP; weights steer") {
+    val und = twoTri.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+    val unit = edgesWDf(und.map { case (a, b) => (a, b, 1.0) })
+    val got = collectL(LabelPropagation.weightedFixedRounds(unit, 3),
+      "id", "label")
+    val exp = collectL(LabelPropagation.fixedRounds(edgesDf(und), 3),
+      "id", "label")
+    assert(got === exp)
+    // a dominant-weight neighbor wins over two unit neighbors
+    val star = edgesWDf(Seq((1L, 0L, 1.0), (2L, 0L, 1.0), (3L, 0L, 5.0),
+      (0L, 3L, 1.0)))
+    val w1 = collectL(LabelPropagation.weightedFixedRounds(star, 1),
+      "id", "label")
+    assert(w1(0L) === 3L) // weight 5 beats labels 1,2 (and min-tie would be 1)
+  }
+
   test("LP.run converges and is a fixed point of one more round") {
     val und = GraphOps.symmetrize(edgesDf(twoTri))
     val (labels, _) = LabelPropagation.run(spark, und, maxRounds = 20,
