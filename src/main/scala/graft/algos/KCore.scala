@@ -37,8 +37,10 @@ object KCore {
   }
 
   /** Peel to the true k-core: rounds until no vertex is removed; each round
-    * materialized (lineage-truncated), one action per round. Returns
-    * ((id, deg), roundsRun).
+    * materialized (lineage-truncated). ONE job per round: the lazy
+    * localCheckpoint is materialized by the surviving-edge count (the same
+    * pattern as LabelPropagation.run — never an eager checkpoint plus a
+    * separate count). Returns ((id, deg), roundsRun).
     */
   def converged(edges: DataFrame, k: Int,
                 maxRounds: Int = 100): (DataFrame, Int) = {
@@ -55,8 +57,8 @@ object KCore {
         .join(keep.toDF("src"), Seq("src"), "left_semi")
         .join(keep.toDF("dst"), Seq("dst"), "left_semi")
         .select("src", "dst")
-        .localCheckpoint(true)
-      val m = next.count()
+        .localCheckpoint(false)
+      val m = next.count() // materializes + truncates lineage in one job
       done = m == n
       n = m
       e = next

@@ -37,22 +37,51 @@ final class CheckpointStore(base: String, algo: String, runId: String) {
       case c => c.toString
     } + "\""
 
-  /** Write superstep `s`: parquet data + per-partition row counts + metrics
-    * manifest. Returns total row count (one pass over the written files, so
-    * the expensive lineage is materialized exactly once).
+  /** Write superstep `s`: parquet data, then ONE read-back pass that both
+    * caches the snapshot (lazy localCheckpoint materialized by the
+    * per-partition stats job) and computes the manifest lineage. Total rows
+    * = Σ partition rows — never a separate count action. Returns the cached
+    * read-back frame (hash-repartitioned by id when `repartitionTo` is set,
+    * restoring the loop's co-partitioning) and the total row count: exactly
+    * two actions per durable snapshot (the write + the stats/cache job).
     */
-  def write(s: Int, state: DataFrame, metrics: Map[String, String]): Long = {
+  def writeAndLoad(s: Int, state: DataFrame, metrics: Map[String, String],
+                   repartitionTo: Option[Int] = None): (DataFrame, Long) = {
     val dir = snapDir(s)
     state.write.mode("overwrite").parquet(dir.toString)
     val spark = state.sparkSession
-    val written = spark.read.parquet(dir.toString)
-    val perPart = written
+    val raw = spark.read.parquet(dir.toString)
+    val readBack = repartitionTo
+      .map(n => raw.repartition(n, col("id"))).getOrElse(raw)
+      .localCheckpoint(false)
+    val total = commitManifest(s, readBack, state, metrics)
+    (readBack, total)
+  }
+
+  /** Write without a read-back: per-partition lineage is computed from the
+    * input frame itself (already cached when called from the loop's final
+    * snapshot), so only the parquet write plus one stats job run — never a
+    * throwaway cached copy.
+    */
+  def write(s: Int, state: DataFrame, metrics: Map[String, String]): Long = {
+    state.write.mode("overwrite").parquet(snapDir(s).toString)
+    commitManifest(s, state, state, metrics)
+  }
+
+  /** One stats job over `statsFrom` (partition rows + id range), then the
+    * atomic manifest rename. Total rows = Σ partition rows — never a
+    * separate count action.
+    */
+  private def commitManifest(s: Int, statsFrom: DataFrame, state: DataFrame,
+                             metrics: Map[String, String]): Long = {
+    val stats = statsFrom
       .groupBy(spark_partition_id().as("pid"))
       .agg(count(lit(1)).as("rows"), min("id").as("minId"), max("id").as("maxId"))
       .collect()
+    val perPart = stats
       .map(r => s"""{"pid":${r.getInt(0)},"rows":${r.getLong(1)},""" +
         s""""minId":${r.get(2)},"maxId":${r.get(3)}}""")
-    val total = written.count()
+    val total = stats.map(_.getLong(1)).sum
     val parent = if (s > 0) s"${s - 1}" else "null"
     val metricsJson = metrics.map { case (k, v) => s"${jstr(k)}: ${jstr(v)}" }
       .mkString("{", ",", "}")

@@ -294,19 +294,22 @@ object Superstep {
       val stepAfter = step + inner
 
       // Materialize once per batch: durable snapshot (Iceberg-shaped) or
-      // in-memory.
+      // in-memory. Durable fires whenever the batch CROSSES a durableEvery
+      // boundary (stepAfter/k > step/k), not only when it lands exactly on
+      // one — batchSize=4 with durableEvery=5 still snapshots ~every 5.
       val durable = cfg.checkpoint.isDefined &&
-        (stepAfter % cfg.durableEvery == 0 || stepAfter >= cfg.maxIter)
+        (stepAfter / cfg.durableEvery > step / cfg.durableEvery ||
+          stepAfter >= cfg.maxIter)
       val materialized =
         if (durable) {
           val ck = cfg.checkpoint.get
-          ck.write(stepAfter - 1, newState, Map(
+          val (loaded, _) = ck.writeAndLoad(stepAfter - 1, newState, Map(
             "superstep" -> (stepAfter - 1).toString,
             "frontier" -> frontierSize.toString,
-            "wallMs" -> ((System.nanoTime() - t0) / 1000000).toString))
+            "wallMs" -> ((System.nanoTime() - t0) / 1000000).toString),
+            repartitionTo = Some(n))
           lastDurable = stepAfter - 1
-          ck.read(spark, stepAfter - 1).repartition(n, col("id"))
-            .localCheckpoint(true)
+          loaded
         } else newState.localCheckpoint(false) // lazy: materialized by the
       // metrics aggregate below — ONE job per batch computes the pipeline,
       // caches the state blocks, and truncates lineage.
@@ -345,28 +348,5 @@ object Superstep {
           "frontier" -> frontierSize.toString))
     }
     SuperstepResult(state.drop("changed"), step, converged, metrics)
-  }
-
-  /** Purely lazy fixed-k unrolled loop — no actions, used by the
-    * oracle-checked `SparkEntry.queries` so the driver's Bench times a
-    * single composed Catalyst plan. Semantics identical to `run` without
-    * frontier filtering (all vertices active, stationary-style).
-    */
-  def lazyLoop(edges: DataFrame, state0: DataFrame, vp: VertexProgram,
-               k: Int): DataFrame = {
-    val withW =
-      if (edges.columns.contains("weight"))
-        edges.select(col("src"), col("dst"), col("weight").cast("double"))
-      else edges.select(col("src"), col("dst"), lit(1.0).as("weight"))
-    var state = state0
-    for (_ <- 1 to k) {
-      val frontier = state.withColumnRenamed("id", "src")
-      val msgs = withW.join(frontier, "src")
-        .select(col("dst").as("id"), vp.gatherExpr.as("msg"))
-        .groupBy("id")
-        .agg(vp.combineExpr(col("msg")).as("agg"))
-      state = vp.applyState(state, msgs).drop("changed")
-    }
-    state
   }
 }
