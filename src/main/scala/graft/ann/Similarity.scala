@@ -145,9 +145,12 @@ object Similarity {
       .agg(count(lit(1)).as("__bsz"))
       .where(col("__bsz") <= maxBucket)
       .select("tbl", "bucket")
+    // Rename by NAME, not positional toDF — the using-join's output column
+    // order is an implementation detail; a positional rename could silently
+    // rebind the id to a bucket column if the projection ever changes.
     val capped = bk.join(small, Seq("tbl", "bucket"))
-    val cand = capped.toDF("tbl", "bucket", "query_id")
-      .join(capped.toDF("tbl", "bucket", "neighbor_id"), Seq("tbl", "bucket"))
+    val cand = capped.withColumnRenamed(idCol, "query_id")
+      .join(capped.withColumnRenamed(idCol, "neighbor_id"), Seq("tbl", "bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id").distinct()
     val p = prepped(emb, idCol, vecCol)

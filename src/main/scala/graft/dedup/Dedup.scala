@@ -143,12 +143,26 @@ object Dedup {
     */
   def minhashLsh(docs: DataFrame, n: Int, numHashes: Int, threshold: Double,
                  idCol: String = "doc_id",
-                 textCol: String = "text"): DataFrame = {
+                 textCol: String = "text",
+                 maxBucket: Long = 100000L): DataFrame = {
     val sh = TextOps.shingleRows(docs, idCol, textCol, n)
       .localCheckpoint(true) // reused: signatures + verify join + sizes
-    val sig = minhashSignatures(sh, numHashes, idCol)
-    val cand = sig.toDF("doc1", "i", "h")
-      .join(sig.toDF("doc2", "i", "h"), Seq("i", "h"))
+    // Materialized once: referenced by the bucket-size agg and both sides
+    // of the candidate self-join (3 plan references).
+    val sig = minhashSignatures(sh, numHashes, idCol).localCheckpoint(true)
+    // Hot-bucket cap (same guard as Similarity.annTopKMulti): a bucket with
+    // more than maxBucket members — e.g. a corpus of byte-identical
+    // documents that skipped exact() — would make the band self-join
+    // quadratic in that bucket. Oversized buckets are dropped from
+    // candidate generation; run [[exact]] first so identical documents are
+    // collapsed before near-dup detection.
+    val smallBuckets = sig.groupBy("i", "h")
+      .agg(count(lit(1)).as("__bsz"))
+      .where(col("__bsz") <= maxBucket)
+      .select("i", "h")
+    val capped = sig.join(smallBuckets, Seq("i", "h"))
+    val cand = capped.withColumnRenamed(idCol, "doc1")
+      .join(capped.withColumnRenamed(idCol, "doc2"), Seq("i", "h"))
       .where(col("doc1") < col("doc2"))
       .select("doc1", "doc2").distinct()
     verifyJaccard(cand, sh, threshold, idCol)
@@ -212,13 +226,23 @@ object Dedup {
                    threshold: Double, idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame = {
     val s = simhash(docs, idCol, textCol)
-    val numBands = maxHamming + 1
-    val width = math.max(1, (16 + numBands - 1) / numBands)
+    // Partition the 16 bits into numBands NON-EMPTY disjoint ranges — the
+    // remainder bits are spread across the first bands (widths e.g. 4/3/3/3/3
+    // for 5 bands), so no band can degenerate to a constant 0 (which would
+    // turn the band equi-join into an all-pairs cross join). Pigeonhole
+    // still holds: hamming ≤ maxHamming < numBands differing bits cannot
+    // touch every band. numBands is capped at 16 (1 bit per band minimum);
+    // maxHamming ≥ 16 would make every pair a candidate anyway.
+    val numBands = math.min(maxHamming + 1, 16)
+    val base = 16 / numBands
+    val rem = 16 % numBands
+    val widths = (0 until numBands).map(b => base + (if (b < rem) 1 else 0))
+    val starts = widths.scanLeft(0)(_ + _)
     val banded = s.select(col(idCol).as("doc"), col("simhash"),
       explode(array((0 until numBands).map { b =>
         struct(lit(b).as("band"),
-          shiftright(col("simhash"), b * width)
-            .bitwiseAND(lit((1L << width) - 1)).as("bval"))
+          shiftright(col("simhash"), starts(b))
+            .bitwiseAND(lit((1L << widths(b)) - 1)).as("bval"))
       }: _*)).as("bb"))
       .select(col("doc"), col("simhash"),
         col("bb.band").as("band"), col("bb.bval").as("bval"))

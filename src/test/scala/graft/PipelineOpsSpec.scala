@@ -153,4 +153,41 @@ class PipelineOpsSpec extends SparkSpec {
     val pm = Multimodal.payloadMeta(d).where(col("doc_id") === 5L).head()
     assert(pm.getAs[Long]("payload_bytes") === 8L) // "tiny doc"
   }
+
+  test("minhash LSH hot-bucket cap keeps candidate volume linear on a " +
+    "corpus of identical documents") {
+    // 1000 byte-identical docs (the pre-exact-dedup pathological case):
+    // every (i, h) bucket has 1000 members, so uncapped candidate
+    // generation would be ~500k pairs × 16 bands. With the cap the hot
+    // buckets are dropped and the query completes with zero candidates —
+    // the documented contract is that exact() collapses identical docs
+    // BEFORE near-dup detection.
+    val many = docsDf((1L to 1000L).map(i => (i, base)))
+    val capped = Dedup.minhashLsh(many, 3, 16, 0.5, maxBucket = 100L)
+    assert(capped.count() === 0L)
+    // and the cap does not change results when no bucket is hot
+    val normal = docsDf(docs)
+    val withCap = Dedup.minhashLsh(normal, 3, 16, 0.5, maxBucket = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val noCap = Dedup.minhashLsh(normal, 3, 16, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(withCap === noCap)
+  }
+
+  test("simhash pigeonhole bands stay non-degenerate for maxHamming >= 4") {
+    // maxHamming=5 → 6 bands over 16 bits (widths 3/3/3/3/2/2). Before the
+    // fix, bands past 16/width were constant 0 for every doc — an all-pairs
+    // cross join. Verify output equals the brute-force hamming filter of
+    // the jaccard-qualified pairs.
+    val d = docsDf(docs)
+    val sh = Dedup.simhash(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val jacc = Dedup.jaccardPairs(d, 3, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = jacc.filter { case (a, b) =>
+      java.lang.Long.bitCount(sh(a) ^ sh(b)) <= 5 }
+    val got = Dedup.simhashPairs(d, 5, 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expected)
+  }
 }
