@@ -24,10 +24,10 @@ object OracleSql {
 
   /** Undirected view + vertices + degrees. */
   private val UND =
-    s"""cp AS ($CP),
-       | e AS (SELECT src, dst FROM cp UNION SELECT dst, src FROM cp),
-       | v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
-       | d AS (SELECT src AS id, count(*) AS outdeg FROM e GROUP BY 1)""".stripMargin
+    s"""cp AS MATERIALIZED ($CP),
+       | e AS MATERIALIZED (SELECT src, dst FROM cp UNION SELECT dst, src FROM cp),
+       | v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+       | d AS MATERIALIZED (SELECT src AS id, count(*) AS outdeg FROM e GROUP BY 1)""".stripMargin
 
   /** Lowercased alnum tokens per document. */
   private val TOKS =
@@ -55,37 +55,37 @@ object OracleSql {
 
   private def prRounds(k: Int): String = {
     val rounds = (1 to k).map { i =>
-      s"""r$i AS (
+      s"""r$i AS MATERIALIZED (
          |  SELECT v.id, 0.15 + 0.85 * coalesce(s.mass, 0.0) AS pr
          |  FROM v LEFT JOIN (
          |    SELECT e.dst AS id, sum(r.pr / d.outdeg) AS mass
          |    FROM e JOIN r${i - 1} r ON e.src = r.id JOIN d ON e.src = d.id
          |    GROUP BY e.dst) s ON v.id = s.id)""".stripMargin
     }
-    ("r0 AS (SELECT id, 1.0 AS pr FROM v)" +: rounds).mkString(",\n ")
+    ("r0 AS MATERIALIZED (SELECT id, 1.0 AS pr FROM v)" +: rounds).mkString(",\n ")
   }
 
   private def lpRounds(k: Int): String = {
     val rounds = (1 to k).map { i =>
-      s"""b$i AS (
+      s"""b$i AS MATERIALIZED (
          |  SELECT dst AS id, label AS newlabel FROM (
          |    SELECT m.dst, m.label, row_number() OVER (PARTITION BY m.dst ORDER BY m.cnt DESC, m.label ASC) AS rn
          |    FROM (SELECT e.dst, l.label, count(*) AS cnt FROM e JOIN l${i - 1} l ON e.src = l.id GROUP BY 1, 2) m) WHERE rn = 1),
-         | l$i AS (SELECT l.id, coalesce(b.newlabel, l.label) AS label FROM l${i - 1} l LEFT JOIN b$i b ON l.id = b.id)""".stripMargin
+         | l$i AS MATERIALIZED (SELECT l.id, coalesce(b.newlabel, l.label) AS label FROM l${i - 1} l LEFT JOIN b$i b ON l.id = b.id)""".stripMargin
     }
-    ("l0 AS (SELECT id, id AS label FROM v)" +: rounds).mkString(",\n ")
+    ("l0 AS MATERIALIZED (SELECT id, id AS label FROM v)" +: rounds).mkString(",\n ")
   }
 
   /** Weighted-LP rounds: vote weight = Σ edge weight (needs e(src,dst,w)). */
   private def wlpRounds(k: Int): String = {
     val rounds = (1 to k).map { i =>
-      s"""b$i AS (
+      s"""b$i AS MATERIALIZED (
          |  SELECT dst AS id, label AS newlabel FROM (
          |    SELECT m.dst, m.label, row_number() OVER (PARTITION BY m.dst ORDER BY m.ws DESC, m.label ASC) AS rn
          |    FROM (SELECT e.dst, l.label, sum(e.w) AS ws FROM e JOIN l${i - 1} l ON e.src = l.id GROUP BY 1, 2) m) WHERE rn = 1),
-         | l$i AS (SELECT l.id, coalesce(b.newlabel, l.label) AS label FROM l${i - 1} l LEFT JOIN b$i b ON l.id = b.id)""".stripMargin
+         | l$i AS MATERIALIZED (SELECT l.id, coalesce(b.newlabel, l.label) AS label FROM l${i - 1} l LEFT JOIN b$i b ON l.id = b.id)""".stripMargin
     }
-    ("l0 AS (SELECT id, id AS label FROM v)" +: rounds).mkString(",\n ")
+    ("l0 AS MATERIALIZED (SELECT id, id AS label FROM v)" +: rounds).mkString(",\n ")
   }
 
   /** k rounds of min-plus relaxation from min(src); CASE instead of least()
@@ -93,10 +93,10 @@ object OracleSql {
     */
   private def relaxRounds(k: Int, weighted: Boolean): String = {
     val w = if (weighted) "e.w" else "1.0"
-    val d0 = "d0 AS (SELECT v.id, CASE WHEN v.id = (SELECT min(src) FROM e) " +
+    val d0 = "d0 AS MATERIALIZED (SELECT v.id, CASE WHEN v.id = (SELECT min(src) FROM e) " +
       "THEN 0.0 ELSE CAST(NULL AS DOUBLE) END AS dist FROM v)"
     val rounds = (1 to k).map { i =>
-      s"""d$i AS (
+      s"""d$i AS MATERIALIZED (
          |  SELECT p.id, CASE WHEN m.nd IS NULL THEN p.dist WHEN p.dist IS NULL OR m.nd < p.dist THEN m.nd ELSE p.dist END AS dist
          |  FROM d${i - 1} p LEFT JOIN (
          |    SELECT e.dst AS id, min(dd.dist + $w) AS nd
@@ -108,7 +108,7 @@ object OracleSql {
   /** Personalized-PR rounds: teleport only to S (predicate on id). */
   private def pprRounds(k: Int, pred: String => String): String = {
     val rounds = (1 to k).map { i =>
-      s"""r$i AS (
+      s"""r$i AS MATERIALIZED (
          |  SELECT v.id, (CASE WHEN ${pred("v.id")} THEN 0.15 ELSE 0.0 END) + 0.85 * coalesce(s.mass, 0.0) AS pr
          |  FROM v LEFT JOIN (
          |    SELECT e.dst AS id, sum(r.pr / d.outdeg) AS mass
@@ -121,10 +121,10 @@ object OracleSql {
 
   /** Unrolled k-core peeling over a symmetrized edge CTE named `cpf`. */
   private def kcoreRounds(k: Int, rounds: Int): String = {
-    val head = "e0 AS (SELECT src, dst FROM cpf UNION SELECT dst, src FROM cpf)"
+    val head = "e0 AS MATERIALIZED (SELECT src, dst FROM cpf UNION SELECT dst, src FROM cpf)"
     val rs = (1 to rounds).map { i =>
-      s"""k$i AS (SELECT src AS id FROM e${i - 1} GROUP BY 1 HAVING count(*) >= $k),
-         | e$i AS (SELECT e.src, e.dst FROM e${i - 1} e JOIN k$i a ON e.src = a.id JOIN k$i b ON e.dst = b.id)""".stripMargin
+      s"""k$i AS MATERIALIZED (SELECT src AS id FROM e${i - 1} GROUP BY 1 HAVING count(*) >= $k),
+         | e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e JOIN k$i a ON e.src = a.id JOIN k$i b ON e.dst = b.id)""".stripMargin
     }
     (head +: rs).mkString(",\n ")
   }
@@ -150,6 +150,27 @@ object OracleSql {
        |WHERE jaccard >= 0.5 ORDER BY doc1, doc2""".stripMargin
 
   private val Stop = "'the','a','of','and','in','to','is','it','on','for'"
+
+  /** DuckDB twin of [[graft.corpus.CorpusGen.generate]](20, 30, 8, seed=42)
+    * + [[graft.graph.GraphOps.denseIds]]: the synthetic corpus is a pure
+    * function of (repoIdx i, fileIdx j, commitIdx k) and md5/sha256, so the
+    * oracle regenerates it from generate_series — no parquet table needed.
+    * NB DuckDB `/` is float division and CAST rounds — `//` is integer
+    * division (Spark's `(col / n).cast("long")` truncates).
+    */
+  private val CorpusCte =
+    """files AS (
+      |  SELECT CAST(x // 30 AS BIGINT) AS i, CAST(x % 30 AS BIGINT) AS j
+      |  FROM unnest(generate_series(0, 20*30 - 1)) AS t(x)),
+      | paths AS (
+      |  SELECT i, j, printf('repo-%04d', i) AS repo,
+      |    'src/pkg' || CAST(j % 7 AS VARCHAR) || '/File' || CAST(j AS VARCHAR) || '.' ||
+      |      (['scala','java','py','c'])[CAST(j % 4 AS INTEGER) + 1] AS path
+      |  FROM files),
+      | keys AS (
+      |  SELECT DISTINCT 'r:' || repo AS key FROM paths
+      |  UNION SELECT DISTINCT 'f:' || repo || '/' || path FROM paths),
+      | ids AS (SELECT key, CAST(row_number() OVER (ORDER BY key) - 1 AS BIGINT) AS id FROM keys)""".stripMargin
 
   private val CosTail =
     """ flat AS (SELECT v1, v2, unnest(ea) AS x, unnest(eb) AS y FROM pr),
@@ -201,6 +222,10 @@ object OracleSql {
     "pr5_blocked" ->
       s"WITH $UND,\n ${prRounds(5)}\nSELECT id, round(pr, 6) AS pr FROM r5 ORDER BY id",
 
+    // same trajectory as pr5, forced through the 2D grid kernel
+    "pr5_grid" ->
+      s"WITH $UND,\n ${prRounds(5)}\nSELECT id, round(pr, 6) AS pr FROM r5 ORDER BY id",
+
     "pr_top20" ->
       s"WITH $UND,\n ${prRounds(5)}\nSELECT id, round(pr, 6) AS pr FROM r5 ORDER BY round(pr, 6) DESC, id LIMIT 20",
 
@@ -213,7 +238,7 @@ object OracleSql {
          |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
          |  GROUP BY 1, 2),
          | e AS (SELECT src, dst FROM cp2),
-         | v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         | v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
          | d AS (SELECT src AS id, count(*) AS outdeg FROM e GROUP BY 1),
          | ${prRounds(5)}
          |SELECT id, round(pr, 6) AS pr FROM r5 ORDER BY id""".stripMargin,
@@ -240,7 +265,7 @@ object OracleSql {
     "wlp5" ->
       s"""WITH cp AS ($CP),
          | e AS (SELECT src, dst, CAST(weight AS DOUBLE) AS w FROM cp UNION ALL SELECT dst, src, CAST(weight AS DOUBLE) FROM cp),
-         | v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         | v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
          | ${wlpRounds(5)}
          |SELECT id, label FROM l5 ORDER BY id""".stripMargin,
 
@@ -265,11 +290,36 @@ object OracleSql {
       s"""WITH cp AS ($CP),
          | ew AS (SELECT src, dst, CAST(weight AS DOUBLE) AS w FROM cp UNION ALL SELECT dst, src, CAST(weight AS DOUBLE) FROM cp),
          | e AS (SELECT src, dst, w FROM ew),
-         | v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         | v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
          | ${relaxRounds(5, weighted = true)}
          |SELECT id, dist FROM d5 WHERE dist IS NOT NULL ORDER BY id""".stripMargin,
 
+    // Converged engine run vs an OVER-unrolled relaxation: min-plus reaches
+    // its fixpoint and is stable under extra rounds, so any unroll ≥ the
+    // measured convergence (ConvergenceProbe: 3 supersteps at sf0.01,
+    // 4 at sf0.1) reproduces the converged distances. 8 rounds = 2× margin.
+    "sssp_converged" ->
+      s"""WITH cp AS ($CP),
+         | ew AS (SELECT src, dst, CAST(weight AS DOUBLE) AS w FROM cp UNION ALL SELECT dst, src, CAST(weight AS DOUBLE) FROM cp),
+         | e AS (SELECT src, dst, w FROM ew),
+         | v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         | ${relaxRounds(8, weighted = true)}
+         |SELECT id, dist FROM d8 WHERE dist IS NOT NULL ORDER BY id""".stripMargin,
+
+    // Same over-unroll argument for the k-core fixpoint (peeling is
+    // monotone and stable once no vertex is removed; ConvergenceProbe:
+    // 9 rounds at sf0.01, 3 at sf0.1 — 15 rounds = comfortable margin).
+    "kcore3_converged" ->
+      s"""WITH cp AS ($CP),
+         | cpf AS (SELECT src, dst FROM cp WHERE weight >= 2),
+         | ${kcoreRounds(3, 15)}
+         |SELECT src AS id, CAST(count(*) AS BIGINT) AS deg FROM e15 GROUP BY 1 ORDER BY id""".stripMargin,
+
     "dedup_exact" ->
+      "SELECT min(doc_id) AS keep_id, count(*) AS dup_cnt FROM documents GROUP BY text ORDER BY keep_id",
+
+    // the streaming path must land on the identical final state
+    "stream_dedup_exact" ->
       "SELECT min(doc_id) AS keep_id, count(*) AS dup_cnt FROM documents GROUP BY text ORDER BY keep_id",
 
     "dedup_jaccard3" ->
@@ -352,6 +402,41 @@ object OracleSql {
 
     "corpus_sha" ->
       "SELECT doc_id, sha256(text) AS sha FROM documents ORDER BY doc_id",
+
+    // --- G8 corpus derivations (the spec-mandated input shape), corpus
+    // regenerated inside DuckDB from generate_series + md5/sha256 ---------
+    "g_import_corpus" ->
+      s"""WITH $CorpusCte,
+         | imp AS (
+         |  SELECT DISTINCT
+         |    'f:' || repo || '/' || path AS srckey,
+         |    'f:' || repo || '/' ||
+         |      ('src/pkg' || CAST(t % 7 AS VARCHAR) || '/File' || CAST(t AS VARCHAR) || '.' ||
+         |       (['scala','java','py','c'])[CAST(t % 4 AS INTEGER) + 1]) AS dstkey
+         |  FROM (SELECT repo, path, j, unnest([(j*7+1) % 30, (j*13+3) % 30]) AS t FROM paths)
+         |  WHERE t <> j)
+         |SELECT s.id AS src, d.id AS dst, CAST(1 AS BIGINT) AS weight
+         |FROM imp JOIN ids s ON s.key = imp.srckey JOIN ids d ON d.key = imp.dstkey
+         |ORDER BY src, dst""".stripMargin,
+
+    "g_cochange_corpus" ->
+      s"""WITH $CorpusCte,
+         | commits AS (
+         |  SELECT CAST(x // 8 AS BIGINT) AS i, CAST(x % 8 AS BIGINT) AS k,
+         |    substr(sha256('42:' || printf('repo-%04d', CAST(x // 8 AS BIGINT)) || '@' || CAST(x % 8 AS VARCHAR)), 1, 40) AS commit
+         |  FROM unnest(generate_series(0, 20*8 - 1)) AS t(x)),
+         | touched AS (
+         |  SELECT p.repo, p.path, p.j, c.k, c.commit
+         |  FROM paths p JOIN commits c ON p.i = c.i
+         |  WHERE (p.j % 8 = c.k) OR
+         |    substr(md5('42:' || p.repo || ':' || CAST(p.j AS VARCHAR) || ':' || CAST(c.k AS VARCHAR)), 1, 1) IN ('0','1','2','3','4')),
+         | fc AS (
+         |  SELECT repo, commit, key, row_number() OVER (PARTITION BY repo, commit ORDER BY key) AS rn
+         |  FROM (SELECT DISTINCT repo, commit, 'f:' || repo || '/' || path AS key FROM touched)),
+         | fi AS (SELECT f.repo, f.commit, i.id FROM fc f JOIN ids i ON f.key = i.key WHERE f.rn <= 64)
+         |SELECT a.id AS src, b.id AS dst, CAST(count(*) AS BIGINT) AS weight
+         |FROM fi a JOIN fi b ON a.repo = b.repo AND a.commit = b.commit AND a.id < b.id
+         |GROUP BY 1, 2 ORDER BY src, dst""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id,

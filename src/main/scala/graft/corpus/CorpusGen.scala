@@ -57,10 +57,15 @@ object CorpusGen {
           format_string("repo-%04d", col("i")), lit("@"), col("k")), 256),
           1, 40))
 
+    // Membership hash is md5 over a canonical string key (identical hex in
+    // Spark and DuckDB) so the whole corpus — and every edge derived from
+    // it — is reproducible by the ANSI-SQL oracle. First hex digit in
+    // {0..4} ⇒ p = 5/16 ≈ 0.31 of the non-birth commits touch the file.
     val touched = files.join(commits, "i")
       .where((col("j") % commitsPerRepo === col("k")) ||
-        pmod(xxhash64(lit(seed), col("repo"), col("j"), col("k")),
-          lit(100)) < 30)
+        substring(md5(concat(lit(seed), lit(":"), col("repo"), lit(":"),
+          col("j"), lit(":"), col("k"))), 1, 1)
+          .isin("0", "1", "2", "3", "4"))
 
     // content: pure function of (repo, path, commit) with import ground truth
     val lang1 = col("lang")

@@ -72,4 +72,54 @@ object StreamDedup {
       .flatMap(identity)
       .toDF("doc_id", "keep_id", "is_duplicate")
   }
+
+  private val runCounter = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Run exact dedup as a bounded Structured Streaming job and return the
+    * final result: the documents are re-written as `splits` parquet files,
+    * streamed back one file per micro-batch (maxFilesPerTrigger=1), and a
+    * complete-mode stateful aggregation maintains (min doc_id, count) per
+    * content digest across batches. After Trigger.AvailableNow drains the
+    * source, the memory sink holds exactly `Dedup.exact`'s answer — min/count
+    * are order-independent merges, so the result is identical no matter how
+    * the rows were batched. State is keyed by digest, never document bytes.
+    */
+  def exactViaStream(docs: DataFrame, splits: Int = 4,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    try {
+      docs.select(col(idCol), col(textCol)).repartition(splits)
+        .write.mode("overwrite").parquet(tmp)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(idCol,
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(textCol,
+          org.apache.spark.sql.types.StringType)))
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(tmp)
+      val agg = stream
+        .select(col(idCol),
+          xxhash64(col(textCol)).as("__hx"), md5(col(textCol)).as("__hm"))
+        .groupBy("__hx", "__hm")
+        .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
+        .select("keep_id", "dup_cnt")
+      val name = s"graft_stream_exact_${runCounter.incrementAndGet()}"
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // the memory sink holds the rows; localCheckpoint so the returned
+      // frame survives the temp-dir delete below
+      spark.table(name).localCheckpoint(true)
+    } finally {
+      import java.nio.file.{Files => F, Path}
+      val walk = F.walk(Path.of(tmp))
+      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => F.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
 }
