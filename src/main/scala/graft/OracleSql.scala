@@ -394,6 +394,36 @@ object OracleSql {
         |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]', 0)) AS BIGINT) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "pipeline_clean" ->
+      s"""WITH $TOKS,
+         | sc AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(ts, x -> list_contains(['der','die','das','und','ist','nicht','ein'], x))) AS BIGINT) AS s_de,
+         |    CAST(len(list_filter(ts, x -> list_contains(['the','a','of','and','in','to','is'], x))) AS BIGINT) AS s_en,
+         |    CAST(len(list_filter(ts, x -> list_contains(['el','los','las','y','es','una','que'], x))) AS BIGINT) AS s_es,
+         |    CAST(len(list_filter(ts, x -> list_contains(['le','la','et','les','des','est','un'], x))) AS BIGINT) AS s_fr
+         |  FROM toks),
+         | en AS (
+         |  SELECT doc_id FROM sc
+         |  WHERE NOT (s_de >= greatest(s_en, s_es, s_fr) AND s_de > 0)
+         |    AND s_en >= greatest(s_es, s_fr) AND s_en > 0),
+         | kept AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+         | base AS (
+         |  SELECT d.doc_id,
+         |    CAST(length(d.text) AS BIGINT) AS n_chars_m,
+         |    CAST(len(t.ts) AS BIGINT) AS n_tokens,
+         |    CAST(len(regexp_extract_all(d.text, '[^a-zA-Z0-9\\s]', 0)) AS BIGINT) AS n_punct
+         |  FROM documents d JOIN toks t ON d.doc_id = t.doc_id),
+         | q AS (
+         |  SELECT doc_id, round(least(1.0, n_tokens / 100.0) *
+         |    (1.0 - coalesce(round(n_punct * 1.0 / nullif(n_chars_m, 0), 6), 0.0)), 6) AS quality_score
+         |  FROM base)
+         |SELECT q.doc_id, q.quality_score FROM q
+         |WHERE q.doc_id IN (SELECT doc_id FROM en)
+         |  AND q.doc_id IN (SELECT doc_id FROM kept)
+         |  AND q.quality_score >= 0.5
+         |ORDER BY doc_id""".stripMargin,
+
     "doc_fingerprint" ->
       s"""WITH $TOKS,
          | ${shCte(4)}

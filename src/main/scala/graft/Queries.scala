@@ -198,6 +198,21 @@ object Queries {
     "doc_fingerprint" -> ((s, dir) =>
       TextOps.fingerprint(docs(s, dir)).orderBy("doc_id")),
 
+    // --- composed training-data cleaning pipeline: language filter →
+    // exact-dedup survivors → quality threshold, one declarative plan (the
+    // operators fuse; Catalyst shares the token-array projection) ---------
+    "pipeline_clean" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val en = TextOps.langId(d).where(col("pred_lang") === "en")
+        .select("doc_id")
+      val kept = Dedup.exact(d).select(col("keep_id").as("doc_id"))
+      TextOps.textStats(d).select(col("doc_id"), col("quality_score"))
+        .join(en, Seq("doc_id"), "left_semi")
+        .join(kept, Seq("doc_id"), "left_semi")
+        .where(col("quality_score") >= 0.5)
+        .orderBy("doc_id")
+    }),
+
     // --- per-row content invariant (BASELINE.json input_hint) -------------
     "corpus_sha" -> ((s, dir) =>
       docs(s, dir)
