@@ -94,7 +94,7 @@ object Queries {
     "pr5_grid" -> ((s, dir) =>
       PageRank.run(s, und(s, dir),
         cfg(s).copy(maxIter = 5, tol = 0.0, gridSide = Some(4),
-          batchSize = 2))
+          batchSize = 5))
         .state.select(col("id"), round(col("rank"), 6).as("pr"))
         .orderBy("id")),
 

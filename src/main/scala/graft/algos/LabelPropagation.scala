@@ -71,10 +71,20 @@ object LabelPropagation {
   }
 
   /** Materializing variant: runs up to maxRounds, stops early when no label
-    * changes; lineage truncated per round. Output: (id, label), rounds run.
+    * changes; lineage truncated per batch. Output: (id, label), rounds run.
+    *
+    * `batch` composes k rounds lazily per materializing action (ONE job of
+    * pipelined stages per batch, amortizing the per-round serial term).
+    * Each round references the previous labels twice (vote join + carry),
+    * so a lazy batch grows ~2^k plan leaves — all pointing at the same
+    * cached frame, fine for small k (default 4 → ≤16 leaves), ruinous
+    * for large k (SURVEY.md §9 anti-lesson). The changed-flag is computed
+    * on the LAST round of the batch only: if that round changed nothing
+    * the labels are a fixpoint, so stopping is exact; a run may execute up
+    * to batch-1 extra no-op rounds past the fixpoint.
     */
   def run(spark: SparkSession, edges: DataFrame, maxRounds: Int = 50,
-          numPartitions: Int = 32): (DataFrame, Int) = {
+          numPartitions: Int = 32, batch: Int = 4): (DataFrame, Int) = {
     val e = edges.select("src", "dst")
       .repartition(numPartitions, col("src")).localCheckpoint(true)
     var labels = GraphOps.vertices(e)
@@ -83,13 +93,17 @@ object LabelPropagation {
     var r = 0
     var done = false
     while (r < maxRounds && !done) {
-      // ONE action per round: the lazy localCheckpoint is materialized by
+      val inner = math.min(math.max(1, batch), maxRounds - r)
+      var next = labels
+      for (i <- 1 to inner)
+        next = round(e, next, withFlag = i == inner)
+      // ONE action per batch: the lazy localCheckpoint is materialized by
       // the changed-count aggregate (same shape as the Superstep kernel).
-      val next = round(e, labels, withFlag = true).localCheckpoint(false)
-      val m = next.agg(sum(when(col("chg"), 1L).otherwise(0L))).head()
+      val nextM = next.localCheckpoint(false)
+      val m = nextM.agg(sum(when(col("chg"), 1L).otherwise(0L))).head()
       val changed = if (m.isNullAt(0)) 0L else m.getLong(0)
-      labels = next.drop("chg")
-      r += 1
+      labels = nextM.drop("chg")
+      r += inner
       done = changed == 0
     }
     (labels, r)

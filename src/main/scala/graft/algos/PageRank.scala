@@ -67,7 +67,12 @@ object PageRank {
   def runFiltered(spark: SparkSession, edges: DataFrame,
                   cfg: SuperstepConfig,
                   resume: Boolean = false): SuperstepResult = {
-    val e = edges.select("src", "dst")
+    // Materialized ONCE: the raw edge table is referenced by the class
+    // split, the constant vector, the RR subgraph AND the post-loop sink
+    // pass — each an eagerly-materialized job that would otherwise re-run
+    // the (possibly expensive) derivation plan. Measured on the driver's
+    // bench: pr_converged paid the ~5 s co-purchase self-join 4× per run.
+    val e = edges.select("src", "dst").localCheckpoint(true)
     val classes = GraphOps.classify(e, GraphOps.vertices(e))
       .localCheckpoint(true) // reused by 4 sub-plans below
     val srcIds = classes.where(col("class") === "source").select("id")
