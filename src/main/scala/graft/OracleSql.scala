@@ -226,6 +226,21 @@ object OracleSql {
     "pr5_grid" ->
       s"WITH $UND,\n ${prRounds(5)}\nSELECT id, round(pr, 6) AS pr FROM r5 ORDER BY id",
 
+    // same trajectory as pr5, forced through the hub-split salt layout
+    "pr5_hubsplit" ->
+      s"WITH $UND,\n ${prRounds(5)}\nSELECT id, round(pr, 6) AS pr FROM r5 ORDER BY id",
+
+    // S1 reader round-trip: text lines back to the weighted edge triple
+    "edgelist_roundtrip" ->
+      s"""WITH cp AS ($CP)
+         |SELECT src, dst, CAST(weight AS DOUBLE) AS weight
+         |FROM cp ORDER BY src, dst""".stripMargin,
+
+    // S4 resume: 3 supersteps + durable snapshot, resumed to 5 — the final
+    // state equals pr5's straight 5-round trajectory
+    "pr_resume" ->
+      s"WITH $UND,\n ${prRounds(5)}\nSELECT id, round(pr, 6) AS pr FROM r5 ORDER BY id",
+
     "pr_top20" ->
       s"WITH $UND,\n ${prRounds(5)}\nSELECT id, round(pr, 6) AS pr FROM r5 ORDER BY round(pr, 6) DESC, id LIMIT 20",
 

@@ -98,6 +98,76 @@ object Queries {
         .state.select(col("id"), round(col("rank"), 6).as("pr"))
         .orderBy("id")),
 
+    // --- the hub/skew salt layout under the hard oracle gate (G7): same
+    // 5-step trajectory as pr5, forced through hubTau=16 so hub adjacency
+    // splits into salt groups, the frontier replicates across salts, and
+    // the salted shuffled-hash join runs (batchSize=2 disables the
+    // broadcast shortcut) — the skew path is pinned to DuckDB.
+    "pr5_hubsplit" -> ((s, dir) =>
+      PageRank.run(s, und(s, dir),
+        cfg(s).copy(maxIter = 5, tol = 0.0, hubTau = Some(16L),
+          batchSize = 2))
+        .state.select(col("id"), round(col("rank"), 6).as("pr"))
+        .orderBy("id")),
+
+    // --- S1 text edge-list reader under the hard oracle gate: the weighted
+    // co-purchase edges round-trip through the converter input format
+    // ("src dst weight" lines) and come back via the distributed csv-schema
+    // reader; materialized eagerly so the temp dir can be removed.
+    "edgelist_roundtrip" -> ((s, dir) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-edgelist").toString
+      try {
+        val txtDir = s"$base/edges"
+        TestGraphs.copurchase(s, dir)
+          .select(concat_ws(" ", col("src"), col("dst"), col("weight"))
+            .as("value"))
+          .write.mode("overwrite").text(txtDir)
+        GraphOps.readEdgeList(s, txtDir)
+          .orderBy("src", "dst").localCheckpoint(true)
+      } finally {
+        import java.nio.file.{Files => F, Path}
+        import java.util.Comparator
+        val walk = F.walk(Path.of(base))
+        try walk.sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => F.deleteIfExists(p))
+        finally walk.close()
+      }
+    }),
+
+    // --- S4 checkpoint/resume under the hard oracle gate: run 1 stops at
+    // superstep 3 leaving durable snapshots; run 2 resumes from the latest
+    // manifest and completes the SAME fixed 5-superstep trajectory as pr5
+    // (same undirected graph — its post-rounding sums are proven to agree
+    // with DuckDB's, where the weight-filtered directed graph hit 6-dp
+    // double-rounding boundaries), so the resumed final state is SQL-pinned.
+    // (CheckpointSpec separately proves resume ≡ straight on
+    // convergence-driven runs.)
+    "pr_resume" -> ((s, dir) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-resume").toString
+      val e = und(s, dir).localCheckpoint(true)
+      try {
+        val ck = new CheckpointStore(base, "pr", "driver")
+        PageRank.run(s, e, cfg(s).copy(tol = 0.0, maxIter = 3,
+          checkpoint = Some(ck), durableEvery = 2))
+        PageRank.run(s, e, cfg(s).copy(tol = 0.0, maxIter = 5,
+          checkpoint = Some(ck), durableEvery = 2), resume = true)
+          .state.select(col("id"), round(col("rank"), 6).as("pr"))
+          .orderBy("id")
+      } finally {
+        // Final state is eagerly cached (localCheckpoint blocks), so the
+        // snapshot files are no longer needed; Bench runs each query twice
+        // and the dirs would otherwise accumulate.
+        import java.nio.file.{Files => F, Path}
+        import java.util.Comparator
+        val walk = F.walk(Path.of(base))
+        try walk.sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => F.deleteIfExists(p))
+        finally walk.close()
+      }
+    }),
+
     // --- personalized PR: teleport mass only to S = {id ≡ 0 mod 100} ------
     "ppr5" -> ((s, dir) =>
       PageRank.personalizedFixedIterations(und(s, dir),
@@ -293,36 +363,13 @@ object Queries {
         .select("query_id", "neighbor_id", "rk", "cos")
         .orderBy("query_id", "rk")),
 
-    // resume-then-continue PR through the durable snapshot store: run 1 is
-    // killed at superstep 3; run 2 resumes from its latest manifest and
-    // continues to convergence (CheckpointSpec proves resume ≡ straight).
-    "pr_resume" -> ((s, dir) => {
-      val base = java.nio.file.Files
-        .createTempDirectory("graft-resume").toString
-      val e = TestGraphs.copurchase(s, dir)
-        .where(col("weight") >= 2).select("src", "dst")
-        .localCheckpoint(true)
-      try {
-        val ck = new CheckpointStore(base, "pr", "driver")
-        PageRank.run(s, e, cfg(s).copy(tol = 1e-6, maxIter = 3,
-          checkpoint = Some(ck), durableEvery = 2))
-        PageRank.run(s, e, cfg(s).copy(tol = 1e-6, maxIter = 25,
-          checkpoint = Some(ck), durableEvery = 5), resume = true)
-          .state.select(col("id"), round(col("rank"), 6).as("pr"))
-          .orderBy("id")
-      } finally {
-        // The run's final state is eagerly cached (localCheckpoint blocks),
-        // so the snapshot files are no longer needed; Bench executes each
-        // query twice (warm-up + timed) and these dirs would otherwise
-        // accumulate across runs. deleteOnExit can't remove directories.
-        import java.nio.file.{Files => F, Path}
-        import java.util.Comparator
-        val walk = F.walk(Path.of(base))
-        try walk.sorted(Comparator.reverseOrder[Path]())
-          .forEach(p => F.deleteIfExists(p))
-        finally walk.close()
-      }
-    }),
+    // IVF-flat ANN (hash-sampled centroids → broadcast argmax assignment →
+    // capped inverted-list probe join; recall<1 by design — the recall gate
+    // vs exact topK lives in AnnRecallSpec)
+    "ann_ivf_top5" -> ((s, dir) =>
+      Similarity.ivfTopK(emb(s, dir), 16, 8, 5)
+        .select("query_id", "neighbor_id", "rk", "cos")
+        .orderBy("query_id", "rk")),
 
     // converged engine runs with no SQL-expressible fixpoint: LP mode-votes
     // are not monotone (an over-unrolled oracle would diverge), and

@@ -166,6 +166,73 @@ object Similarity {
       .where(col("rk") <= k)
   }
 
+  /** IVF-flat ANN top-k (the third scale path, next to the LSH variants):
+    *
+    *  1. '''Centroids''': the `nCentroids` corpus vectors with the smallest
+    *     `xxhash64(id)` — a deterministic uniform sample, no RNG state
+    *     (resumable; k-means refinement is deliberately omitted: float agg
+    *     order varies across partitions, and a jittered centroid can flip
+    *     assignments between otherwise-identical runs).
+    *  2. '''Assignment''': every vector scores against the broadcast
+    *     centroid table with the codegen'd dot product — O(n·C), no
+    *     shuffle; corpus vectors keep their argmax list, queries keep the
+    *     `nProbe` closest lists (the recall knob).
+    *  3. '''Candidates''': query-probe ⋈ inverted-list on the centroid id,
+    *     lists capped at `maxList` rows (hot-list guard, same discipline as
+    *     [[annTopKMulti]]'s maxBucket) — candidate generation is
+    *     list-local, never corpus-quadratic.
+    *  4. '''Re-rank''': exact rounded cosine + row_number, identical tail
+    *     to the other ANN paths.
+    *
+    * Recall < 1 by construction; the ≥-recall gate vs [[topK]] lives in
+    * AnnRecallSpec.
+    */
+  def ivfTopK(emb: DataFrame, nCentroids: Int, nProbe: Int, k: Int,
+              maxList: Long = 100000,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val p = prepped(emb, idCol, vecCol).localCheckpoint(true)
+    // Deterministic sample: the nCentroids smallest (xxhash64(id), id) —
+    // orderBy+limit plans as TakeOrderedAndProject (distributed per-partition
+    // top-k + driver merge), never a global sort; the empty-over window
+    // assigning cid runs over the C-row result only.
+    val cw = Window.orderBy(col("__h"), col(idCol))
+    val centroids = p
+      .withColumn("__h", xxhash64(col(idCol)))
+      .orderBy(col("__h"), col(idCol)).limit(nCentroids)
+      .withColumn("cid", row_number().over(cw))
+      .select(col("cid"), col("__vd").as("cv"), col("__nrm").as("cn"))
+    // Broadcast assignment: n×C scored rows, top-nProbe lists per vector.
+    val aw = Window.partitionBy(idCol)
+      .orderBy(col("__csim").desc, col("cid").asc)
+    val assigned = p.join(broadcast(centroids))
+      .select(col(idCol), col("__vd"), col("__nrm"), col("cid"),
+        (dotD(col("__vd"), col("cv")) / (col("__nrm") * col("cn")))
+          .as("__csim"))
+      .withColumn("__crk", row_number().over(aw))
+      .localCheckpoint(true)
+    val lists = assigned.where(col("__crk") === 1)
+      .select(col(idCol).as("neighbor_id"), col("cid"),
+        col("__vd").as("cv2"), col("__nrm").as("cn2"))
+    val smallLists = lists.groupBy("cid").agg(count(lit(1)).as("__lsz"))
+      .where(col("__lsz") <= maxList).select("cid")
+    val probes = assigned.where(col("__crk") <= nProbe)
+      .select(col(idCol).as("query_id"), col("cid"),
+        col("__vd").as("qv"), col("__nrm").as("qn"))
+    val scored = probes
+      .join(smallLists, Seq("cid"))
+      .join(lists, Seq("cid"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dotD(col("qv"), col("cv2")) / (col("qn") * col("cn2")), 6)
+          .as("cos"))
+      .distinct() // a pair can meet through several probed lists
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+  }
+
   /** ANN top-k via LSH buckets: candidates share a bucket; exact cosine +
     * rank inside the bucket. Recall < 1 by construction — this is the
     * throughput-oriented variant; [[topK]] is the exact baseline.

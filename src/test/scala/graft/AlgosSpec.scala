@@ -68,6 +68,20 @@ class AlgosSpec extends SparkSpec {
     p.foreach { case (k, v) => assert(math.abs(v - s(k)) < 1e-12) }
   }
 
+  test("PageRank salt layout + batching ≡ fixedIterations trajectory") {
+    // the pr5_hubsplit oracle query's exact shape: fixed-k (tol=0),
+    // hubTau forcing the salted shuffled-hash join, batchSize>1 so the
+    // broadcast shortcut is disabled and supersteps compose lazily
+    val hub = (1L to 12L).map(d => (0L, d)) ++ Seq((1L, 2L), (2L, 1L))
+    val salted = PageRank.run(spark, edgesDf(hub),
+      cfg.copy(tol = 0.0, maxIter = 5, hubTau = Some(4L), batchSize = 2))
+    assert(salted.supersteps === 5)
+    val exp = collectD(PageRank.fixedIterations(edgesDf(hub), 5), "id", "rank")
+    val got = collectD(salted.state, "id", "rank")
+    assert(exp.keySet === got.keySet)
+    exp.foreach { case (k, v) => assert(math.abs(v - got(k)) < 1e-12) }
+  }
+
   test("PageRank.fixedIterations matches dense oracle at k iterations") {
     val got = collectD(
       PageRank.fixedIterations(edgesDf(cyc), 5), "id", "rank")

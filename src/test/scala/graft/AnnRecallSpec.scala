@@ -32,4 +32,23 @@ class AnnRecallSpec extends SparkSpec {
       s"(${(truth & got).size}/${truth.size})")
     assert(recall >= 0.9, f"recall $recall%.3f below 0.9")
   }
+
+  test("ivfTopK recall ≥ 0.5 vs exact top-5 at sf0.01 (probing half the lists)") {
+    assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(Similarity.topK(emb, emb, 5))
+    // Same adversarial near-isotropic embeddings as above: coarse Voronoi
+    // cells from hash-sampled centroids separate such vectors poorly, so
+    // the gate is calibrated against what IVF can structurally deliver
+    // here (probing 8/16 lists covers ~half the corpus). On clustered
+    // real-world embeddings the same config sits far higher.
+    val got = pairs(Similarity.ivfTopK(emb, 16, 8, 5))
+    val recall = (truth & got).size.toDouble / truth.size
+    info(f"IVF ANN recall@5 (C=16, probe=8) = $recall%.3f " +
+      s"(${(truth & got).size}/${truth.size})")
+    assert(recall >= 0.5, f"recall $recall%.3f below 0.5")
+  }
 }
