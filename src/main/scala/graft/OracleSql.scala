@@ -337,6 +337,15 @@ object OracleSql {
     "stream_dedup_exact" ->
       "SELECT min(doc_id) AS keep_id, count(*) AS dup_cnt FROM documents GROUP BY text ORDER BY keep_id",
 
+    // streaming tumbling-window agg ≡ the batch groupBy (hour buckets are
+    // epoch-aligned; value summed in exact integer cents)
+    "stream_window_counts" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS hour_bucket,
+        | event_type,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type""".stripMargin,
+
     "dedup_jaccard3" ->
       s"WITH $TOKS,\n ${shCte(3)},\n$JaccTail\n${jaccSelect("")}",
 

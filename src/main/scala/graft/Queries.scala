@@ -246,6 +246,15 @@ object Queries {
       graft.streaming.StreamDedup.exactViaStream(docs(s, dir))
         .orderBy("keep_id")),
 
+    // Structured Streaming windowed aggregation under the same oracle:
+    // events streamed one file per trigger, tumbling 1-hour windows per
+    // event type in complete mode — final state ≡ the batch groupBy
+    // (integer hour buckets + cent sums keep it engine-exact).
+    "stream_window_counts" -> ((s, dir) =>
+      graft.streaming.EdgeStream
+        .windowedCountsViaStream(TestGraphs.table(s, dir, "events"))
+        .orderBy("hour_bucket", "event_type")),
+
     "dedup_jaccard3" -> ((s, dir) =>
       Dedup.jaccardPairs(docs(s, dir), 3, 0.5).orderBy("doc1", "doc2")),
 

@@ -36,6 +36,57 @@ object EdgeStream {
       .select(col("window.start").as("window_start"), col("src"),
         col("edges"))
 
+  private val runCounter = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Run the windowed aggregation as a bounded Structured Streaming job and
+    * return the final state: the events are re-written as `splits` parquet
+    * files, streamed back one file per micro-batch, and a complete-mode
+    * tumbling-window aggregation (1-hour windows per event type) maintains
+    * counts + exact integer cent-sums across batches. After
+    * Trigger.AvailableNow drains the source the memory sink holds exactly
+    * the batch groupBy's answer — count/sum merges are order-independent.
+    * Output is engine-agnostic on purpose: integer hour buckets (window
+    * starts are hour-aligned, so epoch/3600 is exact) and value summed in
+    * cents (round(value·100) as long — float sums never cross the oracle).
+    */
+  def windowedCountsViaStream(events: DataFrame, splits: Int = 4): DataFrame = {
+    import org.apache.spark.sql.types._
+    val spark = events.sparkSession
+    val tmp = java.nio.file.Files.createTempDirectory("graft-estream").toString
+    try {
+      events.select(col("ts"), col("event_type"), col("value"))
+        .repartition(splits).write.mode("overwrite").parquet(tmp)
+      val schema = StructType(Seq(
+        StructField("ts", TimestampType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(tmp)
+      val agg = stream
+        .withWatermark("ts", "2 hours") // production shape; complete mode
+        // keeps all windows, so the bounded replay still yields the full agg
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+        .select((unix_timestamp(col("window.start")) / 3600).cast("long")
+            .as("hour_bucket"),
+          col("event_type"), col("n"), col("cents"))
+      val name = s"graft_stream_window_${runCounter.incrementAndGet()}"
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name).localCheckpoint(true)
+    } finally {
+      import java.nio.file.{Files => F, Path}
+      val walk = F.walk(Path.of(tmp))
+      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => F.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
   /** Exact running out-degree per vertex in keyed state; emits the updated
     * degree for every vertex touched in a micro-batch (Update output mode).
     */

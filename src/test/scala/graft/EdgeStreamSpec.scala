@@ -56,4 +56,24 @@ class EdgeStreamSpec extends SparkSpec {
       assert(rows === Set((0L, 1L, 2L), (60L, 1L, 1L), (60L, 5L, 1L)))
     } finally q.stop()
   }
+
+  test("windowedCountsViaStream final state ≡ batch groupBy") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val events = (0 until 500).map { i =>
+      (ts(i * 37L), if (i % 3 == 0) "click" else "view", i * 0.07 + 0.005)
+    }.toDF("ts", "event_type", "value")
+    val got = EdgeStream.windowedCountsViaStream(events, splits = 3)
+      .orderBy("hour_bucket", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val exp = events
+      .groupBy((unix_timestamp(col("ts")).divide(3600)).cast("long")
+          .as("hour_bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+      .orderBy("hour_bucket", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty && got.toSeq === exp.toSeq)
+  }
 }
