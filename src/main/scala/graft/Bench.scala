@@ -10,6 +10,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Optional args = subset of query names to run (iteration aid; the
+    // driver passes none and gets the full set).
+    val selected: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(args.toSet).toMap
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -26,13 +31,13 @@ object Bench {
     val warmDir =
       if (new java.io.File(warmCandidate).isDirectory) warmCandidate else sfDir
     val effectiveWarm = if (canon(warmDir) == canon(sfDir)) sfDir else warmDir
-    SparkEntry.queries.foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       try { fn(spark, effectiveWarm).count(); () } catch {
         case e: Throwable =>
           System.err.println(s"[bench] warm-up $name failed: ${e.getMessage}")
       }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {
         case e: Throwable =>

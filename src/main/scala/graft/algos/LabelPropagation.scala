@@ -18,24 +18,40 @@ object LabelPropagation {
 
   /** One synchronous round; withFlag adds a `chg` column so the convergence
     * check can ride the materializing aggregate instead of a second action.
+    *
+    * `allIn = true` asserts every vertex has at least one in-neighbor (true
+    * for any symmetrized graph) — then the mode exists for every vertex,
+    * the keep-label carry join disappears, and the round references the
+    * previous labels ONCE. That turns a lazily-composed k-round batch from
+    * ~2^k plan leaves into a linear chain, which is what lets [[run]] batch
+    * more rounds per action on undirected graphs.
     */
   private def round(edges: DataFrame, labels: DataFrame,
-                    withFlag: Boolean = false): DataFrame = {
+                    withFlag: Boolean = false,
+                    allIn: Boolean = false): DataFrame = {
     val msgs = edges.join(labels.withColumnRenamed("id", "src"), "src")
       .groupBy(col("dst"), col("label"))
       .agg(count(lit(1)).as("cnt"))
     val best = msgs.groupBy(col("dst").as("id"))
       .agg(max_by(col("label"),
         struct(col("cnt"), (-col("label")).as("nl"))).as("newlabel"))
-    val joined = labels.join(best, Seq("id"), "left_outer")
-    if (withFlag)
-      joined.select(col("id"),
-        coalesce(col("newlabel"), col("label")).as("label"),
-        (col("newlabel").isNotNull &&
-          col("newlabel") =!= col("label")).as("chg"))
-    else
-      joined.select(col("id"),
-        coalesce(col("newlabel"), col("label")).as("label"))
+    if (allIn && !withFlag)
+      best.select(col("id"), col("newlabel").as("label"))
+    else if (allIn) // flag round: the one double-reference, last in a batch
+      best.join(labels, Seq("id"))
+        .select(col("id"), col("newlabel").as("label"),
+          (col("newlabel") =!= col("label")).as("chg"))
+    else {
+      val joined = labels.join(best, Seq("id"), "left_outer")
+      if (withFlag)
+        joined.select(col("id"),
+          coalesce(col("newlabel"), col("label")).as("label"),
+          (col("newlabel").isNotNull &&
+            col("newlabel") =!= col("label")).as("chg"))
+      else
+        joined.select(col("id"),
+          coalesce(col("newlabel"), col("label")).as("label"))
+    }
   }
 
   /** Lazily-composed fixed-k rounds (no actions) — oracle-checked path. */
@@ -90,13 +106,21 @@ object LabelPropagation {
     var labels = GraphOps.vertices(e)
       .select(col("id"), col("id").as("label"))
       .repartition(numPartitions, col("id")).localCheckpoint(true)
+    // One cheap prep count on the checkpointed edges: if every vertex has
+    // an in-neighbor (any symmetrized graph), rounds single-reference the
+    // labels — the k-round lazy batch is then a linear chain instead of
+    // ~2^k plan leaves, so per-batch planning shrinks. (Doubling the batch
+    // on top was measured slightly SLOWER here: the extra stages per
+    // action cost more planning than the saved actions on this box.)
+    val allIn = e.select(col("dst")).distinct().count() == labels.count()
+    val effBatch = math.max(1, batch)
     var r = 0
     var done = false
     while (r < maxRounds && !done) {
-      val inner = math.min(math.max(1, batch), maxRounds - r)
+      val inner = math.min(effBatch, maxRounds - r)
       var next = labels
       for (i <- 1 to inner)
-        next = round(e, next, withFlag = i == inner)
+        next = round(e, next, withFlag = i == inner, allIn = allIn)
       // ONE action per batch: the lazy localCheckpoint is materialized by
       // the changed-count aggregate (same shape as the Superstep kernel).
       val nextM = next.localCheckpoint(false)
