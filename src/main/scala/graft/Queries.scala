@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.algos.{ConnectedComponents, KCore, LabelPropagation, PageRank, Paths, TriangleCount}
+import graft.algos.{Betweenness, ConnectedComponents, KCore, LabelPropagation, PageRank, Paths, TriangleCount}
 import graft.ann.Similarity
 import graft.corpus.CorpusGen
 import graft.dedup.Dedup
@@ -404,6 +404,21 @@ object Queries {
       val src0 = ew.agg(min(col("src"))).head().getLong(0)
       Paths.sssp(s, ew, src0, cfg(s).copy(maxIter = 50))
         .state.where(col("dist").isNotNull).orderBy("id")
+    }),
+
+    // sampled-source Brandes betweenness (8 hash-sampled roots) on the
+    // filtered symmetrized graph — float dependency sums are partition-
+    // order-dependent, so rows-only; exactness vs sequential Brandes is
+    // pinned in AlgosSpec's golden-graph spec instead.
+    "betweenness8" -> ((s, dir) => {
+      val cpf = TestGraphs.copurchase(s, dir)
+        .where(col("weight") >= 2).select("src", "dst")
+      val undE = GraphOps.symmetrize(cpf).localCheckpoint(true)
+      Betweenness.run(s, undE,
+        Betweenness.sampledSources(GraphOps.vertices(undE), 8),
+        numPartitions =
+          s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+        .orderBy("id")
     }),
 
     // k-core peeled to the true fixpoint (data-dependent round count);

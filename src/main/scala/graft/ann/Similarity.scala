@@ -202,15 +202,7 @@ object Similarity {
       .orderBy(col("__h"), col(idCol)).limit(nCentroids)
       .withColumn("cid", row_number().over(cw))
       .select(col("cid"), col("__vd").as("cv"), col("__nrm").as("cn"))
-    // Broadcast assignment: n×C scored rows, top-nProbe lists per vector.
-    val aw = Window.partitionBy(idCol)
-      .orderBy(col("__csim").desc, col("cid").asc)
-    val assigned = p.join(broadcast(centroids))
-      .select(col(idCol), col("__vd"), col("__nrm"), col("cid"),
-        (dotD(col("__vd"), col("cv")) / (col("__nrm") * col("cn")))
-          .as("__csim"))
-      .withColumn("__crk", row_number().over(aw))
-      .localCheckpoint(true)
+    val assigned = ivfAssignment(p, centroids, idCol).localCheckpoint(true)
     val lists = assigned.where(col("__crk") === 1)
       .select(col(idCol).as("neighbor_id"), col("cid"),
         col("__vd").as("cv2"), col("__nrm").as("cn2"))
@@ -232,6 +224,27 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w).cast("long"))
       .where(col("rk") <= k)
   }
+
+  /** IVF assignment sub-plan (package-visible so PlanShapeSpec can audit
+    * the pre-checkpoint physical plan): n×C scored rows against the
+    * BROADCAST centroid table, ranked per vector. The aw window partitions
+    * by the vector id — distributed, never a global sort.
+    */
+  private[graft] def ivfAssignment(p: DataFrame, centroids: DataFrame,
+                                   idCol: String): DataFrame = {
+    val aw = Window.partitionBy(idCol)
+      .orderBy(col("__csim").desc, col("cid").asc)
+    p.join(broadcast(centroids))
+      .select(col(idCol), col("__vd"), col("__nrm"), col("cid"),
+        (dotD(col("__vd"), col("cv")) / (col("__nrm") * col("cn")))
+          .as("__csim"))
+      .withColumn("__crk", row_number().over(aw))
+  }
+
+  /** Package-visible prepped view for plan audits. */
+  private[graft] def preppedView(emb: DataFrame, idCol: String,
+                                 vecCol: String): DataFrame =
+    prepped(emb, idCol, vecCol)
 
   /** ANN top-k via LSH buckets: candidates share a bucket; exact cosine +
     * rank inside the bucket. Recall < 1 by construction — this is the

@@ -89,6 +89,34 @@ class AlgosSpec extends SparkSpec {
     assertRanks(got, exp, 1e-12)
   }
 
+  test("Betweenness from all sources ≡ sequential Brandes (golden graphs)") {
+    for (g <- Seq(line4, cyc, twoTri,
+        twoTri ++ twoTri.map { case (a, b) => (b, a) })) { // + symmetrized
+      val n = (g.flatMap(e => Seq(e._1, e._2)).max + 1).toInt
+      val s = spark
+      import s.implicits._
+      val sources = (0L until n.toLong).toDF("id")
+      val got = collectD(
+        Betweenness.run(spark, edgesDf(g), sources, numPartitions = 4),
+        "id", "btw")
+      val exp = Oracles.bruteBetweenness(n, g, 0L until n.toLong)
+      assert(got.size === n)
+      got.foreach { case (id, b) =>
+        assert(math.abs(b - exp(id.toInt)) < 1e-9,
+          s"vertex $id: got $b expected ${exp(id.toInt)}")
+      }
+    }
+  }
+
+  test("Betweenness sampled sources are a deterministic subset of V") {
+    val s = spark
+    import s.implicits._
+    val verts = (0L to 50L).toDF("id")
+    val a = Betweenness.sampledSources(verts, 8).collect().map(_.getLong(0))
+    val b = Betweenness.sampledSources(verts, 8).collect().map(_.getLong(0))
+    assert(a.toSeq === b.toSeq && a.length === 8 && a.forall(_ <= 50L))
+  }
+
   test("CC exact vs union-find: golden graphs") {
     val bridgeless = twoTri.filterNot(_ == ((2L, 3L)))
     for (g <- Seq(line4, cyc, twoTri, bridgeless)) {

@@ -78,6 +78,24 @@ class PlanShapeSpec extends SparkSpec {
       s"column pruning lost: $read")
   }
 
+  test("IVF assignment plan: centroids broadcast, corpus side never shuffles for the product") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = graft.ann.Similarity.preppedView(emb, "vec_id", "embedding")
+    val cents = p.limit(8)
+      .withColumn("cid", lit(1))
+      .select(col("cid"), col("__vd").as("cv"), col("__nrm").as("cn"))
+    val plan = fmt(
+      graft.ann.Similarity.ivfAssignment(p, cents, "vec_id"))
+    // the n×C centroid scoring must broadcast the C-row side — anything
+    // else (cartesian, shuffled product) is corpus-quadratic movement
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"no broadcast product in the assignment plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      "corpus-side cartesian in the IVF assignment plan")
+  }
+
   test("dedup_exact plan carries digests, not document text, into the agg") {
     val s = spark
     import s.implicits._

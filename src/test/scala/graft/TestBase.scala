@@ -64,6 +64,38 @@ object Oracles {
     r
   }
 
+  /** Textbook sequential Brandes (unweighted, directed): exact betweenness
+    * from the given source set; sources = all vertices gives the exact
+    * centrality. Independent of the DataFrame implementation.
+    */
+  def bruteBetweenness(n: Int, edges: Seq[(Long, Long)],
+                       sources: Seq[Long]): Array[Double] = {
+    val adj = Array.fill(n)(List.empty[Int])
+    edges.foreach { case (s, d) => adj(s.toInt) ::= d.toInt }
+    val btw = Array.fill(n)(0.0)
+    for (s <- sources.map(_.toInt)) {
+      val dist = Array.fill(n)(-1)
+      val sigma = Array.fill(n)(0.0)
+      val preds = Array.fill(n)(List.empty[Int])
+      var stack = List.empty[Int]
+      dist(s) = 0; sigma(s) = 1.0
+      var q = scala.collection.immutable.Queue(s)
+      while (q.nonEmpty) {
+        val (v, q2) = q.dequeue; q = q2; stack ::= v
+        for (w <- adj(v)) {
+          if (dist(w) < 0) { dist(w) = dist(v) + 1; q = q.enqueue(w) }
+          if (dist(w) == dist(v) + 1) { sigma(w) += sigma(v); preds(w) ::= v }
+        }
+      }
+      val delta = Array.fill(n)(0.0)
+      for (w <- stack) {
+        for (v <- preds(w)) delta(v) += sigma(v) / sigma(w) * (1 + delta(w))
+        if (w != s) btw(w) += delta(w)
+      }
+    }
+    btw
+  }
+
   /** Union-find connected components over the symmetrized graph; label =
     * min vertex id in component.
     */
