@@ -346,6 +346,11 @@ object OracleSql {
         | CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
         |FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type""".stripMargin,
 
+    // exact two-phase distinct aggregate (§2.6)
+    "distinct_users" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
     "dedup_jaccard3" ->
       s"WITH $TOKS,\n ${shCte(3)},\n$JaccTail\n${jaccSelect("")}",
 

@@ -318,6 +318,12 @@ object Queries {
       EdgeDerivation.importEdges(corpus, ids).orderBy("src", "dst")
     }),
 
+    // --- distinct cardinality (§2.6): exact two-phase distinct agg --------
+    "distinct_users" -> ((s, dir) =>
+      graft.functions.Cardinality.exactDistinct(
+        TestGraphs.table(s, dir, "events"), "event_type", "user_id")
+        .orderBy("event_type")),
+
     // --- multimodal plumbing ----------------------------------------------
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.payloadMeta(docs(s, dir)).orderBy("doc_id")),
@@ -405,6 +411,26 @@ object Queries {
       Paths.sssp(s, ew, src0, cfg(s).copy(maxIter = 50))
         .state.where(col("dist").isNotNull).orderBy("id")
     }),
+
+    // HLL++ sketch distinct (fixed-size mergeable registers per group —
+    // the 100 TB shape when the value domain is huge); estimate, so
+    // rows-only; the ≤2% error gate vs exact lives in CardinalitySpec
+    "distinct_users_approx" -> ((s, dir) =>
+      graft.functions.Cardinality.approxDistinct(
+        TestGraphs.table(s, dir, "events"), "event_type", "user_id", 0.01)
+        .orderBy("event_type")),
+
+    // deterministic Jones–Plassmann coloring — integer colors are exact
+    // and reproducible, but the xxhash64 priority order has no DuckDB
+    // twin, so rows-only; exact equality with sequential JP is pinned in
+    // ColoringSpec
+    "coloring" -> ((s, dir) =>
+      graft.algos.Coloring.run(s,
+        TestGraphs.copurchase(s, dir)
+          .where(col("weight") >= 2).select("src", "dst"),
+        numPartitions =
+          s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+        .orderBy("id")),
 
     // sampled-source Brandes betweenness (8 hash-sampled roots) on the
     // filtered symmetrized graph — float dependency sums are partition-

@@ -1,0 +1,74 @@
+package graft.algos
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.graph.GraphOps
+
+/** Deterministic Jones–Plassmann graph coloring: vertex priorities are the
+  * (xxhash64(id), id) total order — no RNG state — and each round every
+  * uncolored vertex that is a priority local-max among its UNCOLORED
+  * neighbors takes the smallest color unused by its already-colored
+  * neighbors. Expected O(log n) rounds; every round is two co-partitioned
+  * joins + aggregations over the shrinking uncolored set (the classic
+  * independent-set peel on the same movement bound as a superstep).
+  *
+  * The mex (smallest free color) is computed per selected vertex as
+  * `array_min(array_except(sequence(0, |used|), used))` — bounded by the
+  * vertex's colored-degree. At extreme hub degrees a capped-palette
+  * variant (recolor conflicts) would bound the array; not needed at the
+  * tested scales.
+  *
+  * Output (id, color) is a PROPER coloring (no edge monochromatic) and is
+  * bit-deterministic — ColoringSpec pins equality with a sequential
+  * Jones–Plassmann reference and properness on random graphs.
+  */
+object Coloring {
+
+  def run(spark: SparkSession, edges: DataFrame, maxRounds: Int = 60,
+          numPartitions: Int = 32): DataFrame = {
+    // symmetrized simple adjacency: coloring is an undirected notion
+    val e = GraphOps.symmetrize(edges.select("src", "dst"))
+      .where(col("src") =!= col("dst"))
+      .repartition(numPartitions, col("src"))
+      .localCheckpoint(true)
+    var uncolored = GraphOps.vertices(e)
+      .select(col("id"), struct(xxhash64(col("id")), col("id")).as("pri"))
+      .repartition(numPartitions, col("id"))
+      .localCheckpoint(true)
+    var colored = spark.range(0).select(col("id"), lit(0).cast("int")
+      .as("color")) // empty (id, color)
+    var r = 0
+    while (r < maxRounds && !uncolored.isEmpty) {
+      // priority local-max among uncolored neighbors
+      val nbrPri = e
+        .join(uncolored.select(col("id").as("src"), col("pri")), "src")
+        .select(col("dst").as("id"), col("pri"))
+        .groupBy("id").agg(max(col("pri")).as("maxNbrPri"))
+      val winners = uncolored
+        .join(nbrPri, Seq("id"), "left_outer")
+        .where(col("maxNbrPri").isNull || col("pri") > col("maxNbrPri"))
+        .select("id")
+      // smallest color unused by colored neighbors (mex)
+      val usedBy = e
+        .join(colored.select(col("id").as("dst"), col("color")), "dst")
+        .select(col("src").as("id"), col("color"))
+        .join(winners, Seq("id"), "left_semi")
+        .groupBy("id").agg(collect_set(col("color")).as("used"))
+      val newly = winners
+        .join(usedBy, Seq("id"), "left_outer")
+        .select(col("id"),
+          when(col("used").isNull, lit(0)).otherwise(
+            array_min(array_except(
+              sequence(lit(0), size(col("used"))), col("used"))))
+            .cast("int").as("color"))
+      colored = colored.unionByName(newly)
+        .repartition(numPartitions, col("id"))
+        .localCheckpoint(true)
+      uncolored = uncolored.join(newly, Seq("id"), "left_anti")
+        .localCheckpoint(true)
+      r += 1
+    }
+    colored
+  }
+}
