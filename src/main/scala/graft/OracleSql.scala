@@ -105,6 +105,22 @@ object OracleSql {
     (d0 +: rounds).mkString(",\n ")
   }
 
+  /** Multi-root BFS levels over dense (root, id) state (needs e, v, roots). */
+  private def harmonicRounds(k: Int): String = {
+    val h0 = "h0 AS MATERIALIZED (SELECT r.root, v.id, " +
+      "CASE WHEN v.id = r.root THEN 0 ELSE CAST(NULL AS INTEGER) END AS dist " +
+      "FROM v CROSS JOIN roots r)"
+    val rounds = (1 to k).map { i =>
+      s"""h$i AS MATERIALIZED (
+         |  SELECT p.root, p.id, CASE WHEN m.nd IS NULL THEN p.dist WHEN p.dist IS NULL OR m.nd < p.dist THEN m.nd ELSE p.dist END AS dist
+         |  FROM h${i - 1} p LEFT JOIN (
+         |    SELECT dd.root, e.dst AS id, min(dd.dist) + 1 AS nd
+         |    FROM e JOIN h${i - 1} dd ON e.src = dd.id WHERE dd.dist IS NOT NULL GROUP BY dd.root, e.dst) m
+         |  ON p.root = m.root AND p.id = m.id)""".stripMargin
+    }
+    (h0 +: rounds).mkString(",\n ")
+  }
+
   /** Personalized-PR rounds: teleport only to S (predicate on id). */
   private def pprRounds(k: Int, pred: String => String): String = {
     val rounds = (1 to k).map { i =>
@@ -345,6 +361,16 @@ object OracleSql {
         | CAST(count(*) AS BIGINT) AS n,
         | CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
         |FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type""".stripMargin,
+
+    // truncated harmonic centrality: multi-root BFS unrolled 4 levels,
+    // scored in exact integer micro-units (round(1e6/d) summed as BIGINT)
+    "harmonic8" ->
+      s"""WITH $UND,
+         | roots AS MATERIALIZED (SELECT id AS root FROM v ORDER BY id LIMIT 8),
+         | ${harmonicRounds(4)}
+         |SELECT v.id, coalesce(s.harmonic, 0) AS harmonic FROM v LEFT JOIN (
+         |  SELECT id, CAST(sum(CAST(round(1000000.0 / dist, 0) AS BIGINT)) AS BIGINT) AS harmonic
+         |  FROM h4 WHERE dist > 0 GROUP BY id) s ON v.id = s.id ORDER BY v.id""".stripMargin,
 
     // exact two-phase distinct aggregate (§2.6)
     "distinct_users" ->

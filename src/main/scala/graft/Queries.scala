@@ -318,6 +318,12 @@ object Queries {
       EdgeDerivation.importEdges(corpus, ids).orderBy("src", "dst")
     }),
 
+    // --- truncated harmonic centrality (multi-root BFS, integer-exact
+    // micro-unit scores — sums of round(1e6/d) over the 8 smallest-id
+    // roots within 4 hops, so the whole score is a long in both engines)
+    "harmonic8" -> ((s, dir) =>
+      Paths.harmonicFixedRounds(und(s, dir), 8, 4).orderBy("id")),
+
     // --- distinct cardinality (§2.6): exact two-phase distinct agg --------
     "distinct_users" -> ((s, dir) =>
       graft.functions.Cardinality.exactDistinct(

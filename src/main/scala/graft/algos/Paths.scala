@@ -39,6 +39,45 @@ object Paths {
       cfg.copy(tol = 0.0), resume)
   }
 
+  /** Truncated harmonic centrality from the `numRoots` smallest vertex ids:
+    * h(v) = Σ_roots round(10⁶ / d(root, v)) over roots within `k` hops
+    * (0 for unreached vertices) — the standard k-hop harmonic
+    * approximation, made ENGINE-EXACT by scoring in integer micro-units:
+    * distances are small integers, so every per-root term and the ≤
+    * numRoots-term sum are exact longs in both Spark and DuckDB (no float
+    * aggregate crosses the oracle). Multi-root BFS advances all roots
+    * together keyed (root, id), one level per materialized round — at
+    * scale each level is one co-partitioned join of the dense (root, id)
+    * state against the fixed edge layout, numRoots× a BFS.
+    */
+  def harmonicFixedRounds(edges: DataFrame, numRoots: Int,
+                          k: Int): DataFrame = {
+    val e = edges.select("src", "dst").localCheckpoint(true)
+    val verts = GraphOps.vertices(e)
+    val roots = verts.orderBy("id").limit(numRoots)
+      .select(col("id").as("root"))
+    var dist = verts.crossJoin(broadcast(roots))
+      .select(col("root"), col("id"),
+        when(col("id") === col("root"), lit(0))
+          .otherwise(lit(null).cast("int")).as("dist"))
+    for (i <- 1 to k) {
+      val msgs = e.join(dist.where(col("dist").isNotNull)
+          .withColumnRenamed("id", "src"), "src")
+        .groupBy(col("root"), col("dst").as("id"))
+        .agg((min(col("dist")) + 1).as("nd"))
+      dist = dist.join(msgs, Seq("root", "id"), "left_outer")
+        .select(col("root"), col("id"),
+          least(col("dist"), col("nd")).as("dist"))
+      if (i < k) dist = dist.localCheckpoint(true)
+    }
+    val scores = dist.where(col("dist") > 0)
+      .groupBy("id")
+      .agg(sum(round(lit(1000000.0) / col("dist"), 0).cast("long"))
+        .as("harmonic"))
+    verts.join(scores, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("harmonic"), lit(0L)).as("harmonic"))
+  }
+
   /** k rounds of min-plus relaxation (Bellman-Ford unrolled — distance
     * over paths of ≤ k edges). Matches the unrolled DuckDB SQL exactly;
     * weights must be integral for the exact gate. The source is a one-row

@@ -108,6 +108,37 @@ class AlgosSpec extends SparkSpec {
     }
   }
 
+  test("harmonicFixedRounds ≡ brute multi-root BFS micro-unit scores") {
+    for (g <- Seq(cyc, twoTri ++ twoTri.map { case (a, b) => (b, a) })) {
+      val n = (g.flatMap(e => Seq(e._1, e._2)).max + 1).toInt
+      val (numRoots, k) = (3, 4)
+      // brute: BFS from each of the numRoots smallest ids, capped at k hops
+      val adj = Array.fill(n)(List.empty[Int])
+      g.foreach { case (s, d) => adj(s.toInt) ::= d.toInt }
+      val exp = Array.fill(n)(0L)
+      for (r <- 0 until math.min(numRoots, n)) {
+        val dist = Array.fill(n)(-1); dist(r) = 0
+        var q = scala.collection.immutable.Queue(r)
+        while (q.nonEmpty) {
+          val (v, q2) = q.dequeue; q = q2
+          if (dist(v) < k) adj(v).foreach { w =>
+            if (dist(w) < 0) { dist(w) = dist(v) + 1; q = q.enqueue(w) }
+          }
+        }
+        for (v <- 0 until n if dist(v) > 0)
+          exp(v) += math.round(1000000.0 / dist(v))
+      }
+      val got = collectD(
+        Paths.harmonicFixedRounds(edgesDf(g), numRoots, k)
+          .withColumn("harmonic", col("harmonic").cast("double")),
+        "id", "harmonic")
+      assert(got.size === n)
+      got.foreach { case (id, h) =>
+        assert(h.toLong === exp(id.toInt), s"vertex $id")
+      }
+    }
+  }
+
   test("Betweenness sampled sources are a deterministic subset of V") {
     val s = spark
     import s.implicits._
