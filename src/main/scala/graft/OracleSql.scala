@@ -362,6 +362,21 @@ object OracleSql {
         | CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
         |FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type""".stripMargin,
 
+    // neighbor-set Jaccard over the filtered symmetrized graph
+    "g_jaccard_sim" ->
+      s"""WITH cp AS MATERIALIZED ($CP),
+         | e AS MATERIALIZED (SELECT src, dst FROM cp WHERE weight >= 2
+         |                    UNION SELECT dst, src FROM cp WHERE weight >= 2),
+         | deg AS MATERIALIZED (SELECT src AS id, count(*) AS deg FROM e GROUP BY 1),
+         | inter AS MATERIALIZED (
+         |  SELECT a.src AS v1, b.src AS v2, count(*) AS inter
+         |  FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
+         |  GROUP BY 1, 2)
+         |SELECT i.v1, i.v2, round(CAST(i.inter AS DOUBLE) / (d1.deg + d2.deg - i.inter), 6) AS sim
+         |FROM inter i JOIN deg d1 ON i.v1 = d1.id JOIN deg d2 ON i.v2 = d2.id
+         |WHERE round(CAST(i.inter AS DOUBLE) / (d1.deg + d2.deg - i.inter), 6) >= 0.3
+         |ORDER BY i.v1, i.v2""".stripMargin,
+
     // truncated harmonic centrality: multi-root BFS unrolled 4 levels,
     // scored in exact integer micro-units (round(1e6/d) summed as BIGINT)
     "harmonic8" ->

@@ -318,6 +318,14 @@ object Queries {
       EdgeDerivation.importEdges(corpus, ids).orderBy("src", "dst")
     }),
 
+    // --- neighbor-set Jaccard similarity (link prediction): candidate
+    // pairs from one wedge join, sim = inter/(d1+d2-inter) rounded ------
+    "g_jaccard_sim" -> ((s, dir) =>
+      GraphOps.neighborJaccard(
+        TestGraphs.copurchase(s, dir)
+          .where(col("weight") >= 2).select("src", "dst"), 0.3)
+        .orderBy("v1", "v2")),
+
     // --- truncated harmonic centrality (multi-root BFS, integer-exact
     // micro-unit scores — sums of round(1e6/d) over the 8 smallest-id
     // roots within 4 hops, so the whole score is a long in both engines)

@@ -176,6 +176,31 @@ object GraphOps {
       .drop("deg")
   }
 
+  /** Neighbor-set Jaccard similarity (link prediction / co-citation): for
+    * vertex pairs sharing ≥1 neighbor in the symmetrized simple graph,
+    * sim(u,v) = |N(u)∩N(v)| / |N(u)∪N(v)|, 6-dp rounded, thresholded.
+    * One wedge join on the shared neighbor (the TC shape — candidate pairs
+    * only, never all-pairs) + a degree join; |N(u)∪N(v)| = d(u)+d(v)−inter
+    * needs no second pass. At scale the wedge fan-out is bounded the same
+    * way TC's is (run on a filtered graph or after hub capping).
+    */
+  def neighborJaccard(edges: DataFrame, threshold: Double): DataFrame = {
+    val und = symmetrize(edges).where(col("src") =!= col("dst"))
+      .localCheckpoint(true)
+    val deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val inter = und.toDF("v1", "nbr")
+      .join(und.toDF("v2", "nbr"), Seq("nbr"))
+      .where(col("v1") < col("v2"))
+      .groupBy("v1", "v2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(deg.toDF("v1", "d1"), "v1")
+      .join(deg.toDF("v2", "d2"), "v2")
+      .select(col("v1"), col("v2"),
+        round(col("inter") /
+          (col("d1") + col("d2") - col("inter")), 6).as("sim"))
+      .where(col("sim") >= threshold)
+  }
+
   /** Replicate frontier rows for hub vertices across their salts so the
     * salted join covers every sub-group: explode(sequence(0, nsalts-1)).
     */

@@ -71,6 +71,25 @@ class GraphOpsSpec extends SparkSpec {
     assert(got === Set((0L, 1L, 1.0), (1L, 2L, 3.5), (2L, 0L, 1.25)))
   }
 
+
+  test("neighborJaccard matches hand-computed sets on the two-triangle graph") {
+    // triangles {0,1,2} and {3,4,5} + bridge 2-3 (undirected)
+    val g = Seq[(Long, Long)]((0L, 1L), (1L, 2L), (0L, 2L),
+      (3L, 4L), (4L, 5L), (3L, 5L), (2L, 3L))
+    val got = GraphOps.neighborJaccard(edgesDf(g), 0.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // N(0)={1,2} N(1)={0,2} N(2)={0,1,3} N(3)={2,4,5} N(4)={3,5} N(5)={3,4}
+    // pair (0,1): inter {2} =1, union {0,1,2}=3 -> 0.333333
+    assert(math.abs(got((0L, 1L)) - 0.333333) < 1e-9)
+    // pair (4,5): inter {3}=1, union {3,4,5}=3 -> 0.333333
+    assert(math.abs(got((4L, 5L)) - 0.333333) < 1e-9)
+    // pair (0,3): no shared neighbor? N(0)={1,2}, N(3)={2,4,5} share {2}
+    // inter 1, union {1,2,4,5}=4 -> 0.25
+    assert(math.abs(got((0L, 3L)) - 0.25) < 1e-9)
+    // pairs with no shared neighbor are absent (candidate-only generation)
+    assert(!got.contains((0L, 4L)))
+  }
+
   test("splitHubs salts only above tau and covers all edges") {
     val hubEdges = (1L to 10L).map(d => (0L, d)) :+ ((1L, 2L))
     val e = edgesDf(hubEdges).withColumn("weight", lit(1.0))
