@@ -365,8 +365,10 @@ object OracleSql {
     // neighbor-set Jaccard over the filtered symmetrized graph
     "g_jaccard_sim" ->
       s"""WITH cp AS MATERIALIZED ($CP),
-         | e AS MATERIALIZED (SELECT src, dst FROM cp WHERE weight >= 2
-         |                    UNION SELECT dst, src FROM cp WHERE weight >= 2),
+         | e AS MATERIALIZED (SELECT src, dst FROM (
+         |                    SELECT src, dst FROM cp WHERE weight >= 2
+         |                    UNION SELECT dst, src FROM cp WHERE weight >= 2)
+         |                    WHERE src <> dst),
          | deg AS MATERIALIZED (SELECT src AS id, count(*) AS deg FROM e GROUP BY 1),
          | inter AS MATERIALIZED (
          |  SELECT a.src AS v1, b.src AS v2, count(*) AS inter

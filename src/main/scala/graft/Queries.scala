@@ -70,15 +70,23 @@ object Queries {
     }),
 
     // --- PageRank (A1): flat kernel, blocked kernel, top-k ---------------
+    // NB every lazily-composed fixed-k query below ends in a filter the
+    // optimizer cannot drop (no null ranks/labels exist, so the oracle
+    // output is unchanged): without it, Bench's count() triggers
+    // distinct-key join elimination on the final left-outer join and the
+    // "measured" time never runs the k iterations (TopKProbe, BASELINE.md
+    // round 3 — the pr_top20 8× mystery).
     "pr5" -> ((s, dir) =>
       PageRank.fixedIterations(und(s, dir), 5)
         .select(col("id"), round(col("rank"), 6).as("pr"))
+        .where(col("pr").isNotNull)
         .orderBy("id")),
 
     "pr5_blocked" -> ((s, dir) =>
       prBlocked(und(s, dir), 5,
         s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
         .select(col("id"), round(col("rank"), 6).as("pr"))
+        .where(col("pr").isNotNull)
         .orderBy("id")),
 
     "pr_top20" -> ((s, dir) =>
@@ -173,12 +181,14 @@ object Queries {
       PageRank.personalizedFixedIterations(und(s, dir),
         id => pmod(id, lit(100L)) === 0, 5)
         .select(col("id"), round(col("rank"), 6).as("pr"))
+        .where(col("pr").isNotNull)
         .orderBy("id")),
 
     // --- PageRank on the bipartite repo→file analog (sources + sinks) ----
     "pr5_bipartite" -> ((s, dir) =>
       PageRank.fixedIterations(TestGraphs.custPart(s, dir), 5)
         .select(col("id"), round(col("rank"), 6).as("pr"))
+        .where(col("pr").isNotNull)
         .orderBy("id")),
 
     // --- k-core peeling (5 synchronous peels, k=3) ------------------------
@@ -196,14 +206,16 @@ object Queries {
 
     // --- label propagation (A3): 5 synchronous rounds --------------------
     "lp5" -> ((s, dir) =>
-      LabelPropagation.fixedRounds(und(s, dir), 5).orderBy("id")),
+      LabelPropagation.fixedRounds(und(s, dir), 5)
+        .where(col("label").isNotNull).orderBy("id")),
 
     // --- weighted LP: votes weighted by co-purchase multiplicity ----------
     "wlp5" -> ((s, dir) => {
       val cp = TestGraphs.copurchase(s, dir)
       val ew = cp.select(col("src"), col("dst"), col("weight"))
         .union(cp.select(col("dst"), col("src"), col("weight")))
-      LabelPropagation.weightedFixedRounds(ew, 5).orderBy("id")
+      LabelPropagation.weightedFixedRounds(ew, 5)
+        .where(col("label").isNotNull).orderBy("id")
     }),
 
     // --- triangle count (A4) ----------------------------------------------
@@ -421,8 +433,10 @@ object Queries {
         .union(cp.select(col("dst"), col("src"),
           col("weight").cast("double")))
         .localCheckpoint(true)
-      val src0 = ew.agg(min(col("src"))).head().getLong(0)
-      Paths.sssp(s, ew, src0, cfg(s).copy(maxIter = 50))
+      // min-src source folded into the engine's init state (lazy one-row
+      // agg, broadcast cross-join) — no eager .head() in the builder
+      Paths.ssspFrom(s, ew, ew.agg(min(col("src"))),
+        cfg(s).copy(maxIter = 50))
         .state.where(col("dist").isNotNull).orderBy("id")
     }),
 

@@ -69,6 +69,17 @@ object Coloring {
         .localCheckpoint(true)
       r += 1
     }
+    // A silent partial coloring is worse than a loud failure: JP colors at
+    // least one vertex per round (the global max priority is always a
+    // local max), so exhausting maxRounds with vertices left means the
+    // caller under-budgeted rounds — tell them instead of returning a
+    // non-total coloring.
+    if (r == maxRounds && !uncolored.isEmpty) {
+      val left = uncolored.count()
+      throw new IllegalStateException(
+        s"Coloring did not complete: $left vertices uncolored after " +
+          s"$maxRounds rounds — raise maxRounds")
+    }
     colored
   }
 }

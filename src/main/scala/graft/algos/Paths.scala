@@ -12,12 +12,18 @@ import graft.graph.GraphOps
   */
 object Paths {
 
-  private final class MinPlusProgram(sourceId: Long) extends VertexProgram {
+  /** `source` is a LAZY one-row frame (e.g. `edges.agg(min("src"))`):
+    * broadcast-cross-joined into the initial state so the lookup rides the
+    * engine's first materializing action instead of an eager driver
+    * `.head()` in the query builder (lazily-built contract, SURVEY §7.3).
+    */
+  private final class MinPlusProgram(source: DataFrame) extends VertexProgram {
     val name = "sssp"
     def initState(vertices: DataFrame): DataFrame =
-      vertices.select(col("id"),
-        when(col("id") === lit(sourceId), lit(0.0)).otherwise(lit(null)
-          .cast("double")).as("dist"))
+      vertices.crossJoin(broadcast(source.toDF("s0")))
+        .select(col("id"),
+          when(col("id") === col("s0"), lit(0.0)).otherwise(lit(null)
+            .cast("double")).as("dist"))
     def gatherExpr: Column = col("dist") + col("weight")
     def gatherStateColumns: Seq[String] = Seq("dist")
     def combineExpr(msg: Column): Column = min(msg)
@@ -33,9 +39,18 @@ object Paths {
     * [, weight]); missing weight = 1.0 (BFS). Unreached vertices keep null.
     */
   def sssp(spark: SparkSession, edges: DataFrame, sourceId: Long,
-           cfg: SuperstepConfig, resume: Boolean = false): SuperstepResult = {
+           cfg: SuperstepConfig, resume: Boolean = false): SuperstepResult =
+    ssspFrom(spark, edges,
+      spark.range(1).select(lit(sourceId).as("s0")), cfg, resume)
+
+  /** Converged SSSP from a lazily-computed one-row source frame (e.g.
+    * `edges.agg(min("src"))`) — no eager driver action in the builder.
+    */
+  def ssspFrom(spark: SparkSession, edges: DataFrame, source: DataFrame,
+               cfg: SuperstepConfig,
+               resume: Boolean = false): SuperstepResult = {
     val verts = GraphOps.vertices(edges.select("src", "dst"))
-    Superstep.run(spark, edges, verts, new MinPlusProgram(sourceId),
+    Superstep.run(spark, edges, verts, new MinPlusProgram(source),
       cfg.copy(tol = 0.0), resume)
   }
 

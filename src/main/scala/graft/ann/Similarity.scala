@@ -101,11 +101,20 @@ object Similarity {
   }
 
   /** Multi-table random-hyperplane LSH bucket rows (id, tbl, bucket):
-    * `tables` independent `bits`-bit signatures. Hyperplane weights are
-    * precomputed deterministic ±1 LITERAL arrays per (table, plane), so each
-    * plane's projection is one codegen'd [[graft.functions.DotProduct]]
-    * over the vector — not an interpreted per-element HOF. `dim` is the
-    * embedding dimensionality (one cheap head() at the call site).
+    * `tables` independent `bits`-bit signatures. Each plane's projection is
+    * one codegen'd [[graft.functions.DotProduct]] over the vector — not an
+    * interpreted per-element HOF. `dim` is the embedding dimensionality
+    * (one cheap head() at the call site).
+    *
+    * The deterministic ±1 hyperplanes travel as DATA, not as plan: one
+    * broadcast single-row frame carrying all tables·bits planes as an
+    * array<array<double>>, cross-joined in. The plan holds tables·bits
+    * `element_at` references — O(tables·bits) expressions regardless of
+    * dim — where the previous literal-array spelling inlined
+    * tables·bits·dim literals into one projection and hit plan/codegen
+    * size limits at realistic dims (24 tables × 4 bits × 2048 dims ≈ 200k
+    * literals; measured in PlanSizeProbe, BASELINE.md round 4). Bucket
+    * values are unchanged (same w(t,b,i) weights, same summation order).
     */
   def lshBucketsMulti(emb: DataFrame, bits: Int, tables: Int, dim: Int,
                       idCol: String = "vec_id",
@@ -113,15 +122,24 @@ object Similarity {
     def w(t: Int, b: Int, i: Int): Double =
       if ((scala.util.hashing.MurmurHash3.productHash((t, b, i)) & 1) == 0)
         1.0 else -1.0
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val planes: Seq[Seq[Double]] = (0 until tables * bits).map { p =>
+      val t = p / bits
+      val b = p % bits
+      (0 until dim).map(i => w(t, b, i))
+    }
+    val planesDf = Seq(Tuple1(planes)).toDF("__planes")
     val tableCols = (0 until tables).map { t =>
       (0 until bits).map { b =>
-        val plane = array((0 until dim).map(i => lit(w(t, b, i))): _*)
+        val plane = element_at(col("__planes"), t * bits + b + 1)
         when(dotD(col("__vd"), plane) > 0, lit(1L << b)).otherwise(lit(0L))
       }.reduce(_ + _).as(s"bkt$t")
     }
     val stackArgs = (0 until tables).map(t => s"$t, bkt$t").mkString(", ")
     emb.select(col(idCol),
         transform(col(vecCol), x => x.cast("double")).as("__vd"))
+      .crossJoin(broadcast(planesDf))
       .select(col(idCol) +: tableCols: _*)
       .selectExpr(idCol, s"stack($tables, $stackArgs) AS (tbl, bucket)")
   }

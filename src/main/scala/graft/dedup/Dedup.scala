@@ -226,13 +226,22 @@ object Dedup {
                    threshold: Double, idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame = {
     val s = simhash(docs, idCol, textCol)
+    // maxHamming ≥ 16 admits EVERY pair of 16-bit signatures (hamming is
+    // at most 16), and banding cannot guarantee completeness there (a pair
+    // differing in all 16 bits shares no band) — so skip banding and emit
+    // all pairs; the Jaccard verification still prunes.
+    if (maxHamming >= 16) {
+      val allPairs = s.select(col(idCol).as("doc1"))
+        .join(s.select(col(idCol).as("doc2")), col("doc1") < col("doc2"))
+      val shAll = TextOps.shingleRows(docs, idCol, textCol, n)
+      return verifyJaccard(allPairs, shAll, threshold, idCol)
+    }
     // Partition the 16 bits into numBands NON-EMPTY disjoint ranges — the
     // remainder bits are spread across the first bands (widths e.g. 4/3/3/3/3
     // for 5 bands), so no band can degenerate to a constant 0 (which would
     // turn the band equi-join into an all-pairs cross join). Pigeonhole
-    // still holds: hamming ≤ maxHamming < numBands differing bits cannot
-    // touch every band. numBands is capped at 16 (1 bit per band minimum);
-    // maxHamming ≥ 16 would make every pair a candidate anyway.
+    // holds because maxHamming < numBands ≤ 16: fewer differing bits than
+    // bands cannot touch every band, so some band agrees exactly.
     val numBands = math.min(maxHamming + 1, 16)
     val base = 16 / numBands
     val rem = 16 % numBands

@@ -62,6 +62,14 @@ final class CheckpointStore(base: String, algo: String, runId: String) {
     * input frame itself (already cached when called from the loop's final
     * snapshot), so only the parquet write plus one stats job run — never a
     * throwaway cached copy.
+    *
+    * NB the manifest's `partitions` array therefore describes the
+    * PRODUCING frame's partitioning (pid/rows/id-range of the in-memory
+    * state), not the written parquet's file layout — the two can differ
+    * (parquet writers may split/merge files). Resume never validates files
+    * against `partitions`; it reads the parquet and re-partitions to the
+    * loop's layout. A future reader wanting file-level fidelity must
+    * compute stats from the read-back (as [[writeAndLoad]] does).
     */
   def write(s: Int, state: DataFrame, metrics: Map[String, String]): Long = {
     state.write.mode("overwrite").parquet(snapDir(s).toString)

@@ -181,15 +181,29 @@ object GraphOps {
     * sim(u,v) = |N(u)∩N(v)| / |N(u)∪N(v)|, 6-dp rounded, thresholded.
     * One wedge join on the shared neighbor (the TC shape — candidate pairs
     * only, never all-pairs) + a degree join; |N(u)∪N(v)| = d(u)+d(v)−inter
-    * needs no second pass. At scale the wedge fan-out is bounded the same
-    * way TC's is (run on a filtered graph or after hub capping).
+    * needs no second pass.
+    *
+    * `maxDeg` is the hot-vertex guard (same discipline as
+    * `Dedup.minhashLsh.maxBucket`): a wedge center of degree d fans out
+    * d² candidate pairs, so one celebrity vertex makes the join quadratic
+    * regardless of the threshold (the filter sits above the aggregate).
+    * Centers with degree > maxDeg are dropped from the wedge join —
+    * an explicit approximation (their pairs undercount `inter`); union
+    * sizes keep the TRUE degrees. Default = no cap (exact).
     */
-  def neighborJaccard(edges: DataFrame, threshold: Double): DataFrame = {
+  def neighborJaccard(edges: DataFrame, threshold: Double,
+                      maxDeg: Long = Long.MaxValue): DataFrame = {
     val und = symmetrize(edges).where(col("src") =!= col("dst"))
       .localCheckpoint(true)
     val deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
-    val inter = und.toDF("v1", "nbr")
-      .join(und.toDF("v2", "nbr"), Seq("nbr"))
+    val wedgeE =
+      if (maxDeg == Long.MaxValue) und
+      else und.join(deg.where(col("deg") <= maxDeg)
+          .select(col("id").as("dst")), Seq("dst"), "left_semi")
+        .select("src", "dst") // name-based: using-joins reorder columns
+    val wedge = wedgeE.select(col("src").as("v"), col("dst").as("nbr"))
+    val inter = wedge.toDF("v1", "nbr")
+      .join(wedge.toDF("v2", "nbr"), Seq("nbr"))
       .where(col("v1") < col("v2"))
       .groupBy("v1", "v2").agg(count(lit(1)).as("inter"))
     inter

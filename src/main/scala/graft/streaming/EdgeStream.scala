@@ -77,7 +77,11 @@ object EdgeStream {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      spark.table(name).localCheckpoint(true)
+      // snapshot, then drop the memory sink's temp view (catalog hygiene —
+      // runCounter names a fresh one per call)
+      val out = spark.table(name).localCheckpoint(true)
+      spark.catalog.dropTempView(name)
+      out
     } finally {
       import java.nio.file.{Files => F, Path}
       val walk = F.walk(Path.of(tmp))

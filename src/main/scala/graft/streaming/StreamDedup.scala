@@ -112,8 +112,12 @@ object StreamDedup {
         .start()
       q.awaitTermination()
       // the memory sink holds the rows; localCheckpoint so the returned
-      // frame survives the temp-dir delete below
-      spark.table(name).localCheckpoint(true)
+      // frame survives the temp-dir delete below — then drop the sink's
+      // temp view so repeated bench runs don't accumulate catalog entries
+      // (runCounter names a fresh one per call)
+      val out = spark.table(name).localCheckpoint(true)
+      spark.catalog.dropTempView(name)
+      out
     } finally {
       import java.nio.file.{Files => F, Path}
       val walk = F.walk(Path.of(tmp))

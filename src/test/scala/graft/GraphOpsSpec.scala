@@ -90,6 +90,21 @@ class GraphOpsSpec extends SparkSpec {
     assert(!got.contains((0L, 4L)))
   }
 
+  test("neighborJaccard maxDeg cap drops hot wedge centers, exact above") {
+    // star K1,8: every leaf pair shares only the center (degree 8)
+    val star = (1L to 8L).map(l => (0L, l))
+    val exact = GraphOps.neighborJaccard(edgesDf(star), 0.0)
+    assert(exact.count() === 8L * 7 / 2) // all leaf pairs via the center
+    // cap below the center degree: the hot center is excluded from the
+    // wedge join, so candidate generation is linear, not quadratic
+    val capped = GraphOps.neighborJaccard(edgesDf(star), 0.0, maxDeg = 4)
+    assert(capped.count() === 0)
+    // cap above every degree ≡ exact (the g_jaccard_sim gate relies on it)
+    val wide = GraphOps.neighborJaccard(edgesDf(star), 0.0, maxDeg = 100)
+    assert(wide.orderBy("v1", "v2").collect().toSeq ===
+      exact.orderBy("v1", "v2").collect().toSeq)
+  }
+
   test("splitHubs salts only above tau and covers all edges") {
     val hubEdges = (1L to 10L).map(d => (0L, d)) :+ ((1L, 2L))
     val e = edgesDf(hubEdges).withColumn("weight", lit(1.0))
