@@ -135,6 +135,29 @@ object OracleSql {
       .mkString(",\n ")
   }
 
+  /** Unrolled k-truss peeling over an oriented (src<dst) simple edge CTE
+    * named `cpf`: per round enumerate triangles (a<b<c triple join),
+    * credit each triangle's three edges, drop edges with support < k−2.
+    * Monotone ⇒ fixpoint stable under extra rounds (the kcore recipe).
+    */
+  private def trussRounds(k: Int, rounds: Int): String = {
+    val head = "e0 AS MATERIALIZED (SELECT src, dst FROM cpf)"
+    val rs = (1 to rounds).map { i =>
+      s"""t$i AS MATERIALIZED (
+         |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+         |  FROM e${i - 1} e1 JOIN e${i - 1} e2 ON e1.dst = e2.src
+         |  JOIN e${i - 1} e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+         | s$i AS MATERIALIZED (
+         |  SELECT src, dst, count(*) AS support FROM (
+         |    SELECT a AS src, b AS dst FROM t$i
+         |    UNION ALL SELECT b, c FROM t$i
+         |    UNION ALL SELECT a, c FROM t$i)
+         |  GROUP BY 1, 2),
+         | e$i AS MATERIALIZED (SELECT src, dst FROM s$i WHERE support >= ${k - 2})""".stripMargin
+    }
+    (head +: rs).mkString(",\n ")
+  }
+
   /** Unrolled k-core peeling over a symmetrized edge CTE named `cpf`. */
   private def kcoreRounds(k: Int, rounds: Int): String = {
     val head = "e0 AS MATERIALIZED (SELECT src, dst FROM cpf UNION SELECT dst, src FROM cpf)"
@@ -361,6 +384,32 @@ object OracleSql {
         | CAST(count(*) AS BIGINT) AS n,
         | CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
         |FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type""".stripMargin,
+
+    // Strongly connected components on the directed weight-tiered graph
+    // (weight≥2 forward + weight≥3 reversed): the oracle is the
+    // algorithm-independent DEFINITION — scc(v) = min u with mutual
+    // reachability — via a recursive closure (the cc recipe, directed).
+    "scc" ->
+      s"""WITH RECURSIVE cp AS ($CP),
+         | e AS (SELECT src, dst FROM cp WHERE weight >= 2
+         |       UNION SELECT dst, src FROM cp WHERE weight >= 3),
+         | v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         | reach AS (
+         |  SELECT id AS u, id AS v FROM v
+         |  UNION
+         |  SELECT r.u, e.dst AS v FROM reach r JOIN e ON r.v = e.src)
+         |SELECT r1.u AS id, CAST(min(r1.v) AS BIGINT) AS scc
+         |FROM reach r1 JOIN reach r2 ON r1.u = r2.v AND r1.v = r2.u
+         |GROUP BY r1.u ORDER BY id""".stripMargin,
+
+    // k-truss (k=3) on the weight≥2 oriented simple graph, over-unrolled
+    // peel (ConvergenceProbe: 2 rounds at sf0.01 and sf0.1; 5 = margin)
+    "ktruss3" ->
+      s"""WITH cp AS ($CP),
+         | cpf AS (SELECT src, dst FROM cp WHERE weight >= 2),
+         | ${trussRounds(3, 5)}
+         |SELECT src, dst, CAST(support AS BIGINT) AS support
+         |FROM s5 WHERE support >= 1 ORDER BY src, dst""".stripMargin,
 
     // neighbor-set Jaccard over the filtered symmetrized graph
     "g_jaccard_sim" ->

@@ -338,6 +338,32 @@ object Queries {
           .where(col("weight") >= 2).select("src", "dst"), 0.3)
         .orderBy("v1", "v2")),
 
+    // --- strongly connected components (A: directed companion to cc) on
+    // the directed graph: weight≥2 co-purchase edges forward plus weight≥3
+    // edges reversed (mutual strong ties create the cycles; the pure
+    // src<dst orientation is a DAG with only trivial SCCs). FW-BW coloring
+    // with trimming runs to the true fixpoint; the oracle is DuckDB's
+    // algorithm-independent mutual-reachability closure — a hard gate with
+    // no unroll assumption.
+    "scc" -> ((s, dir) => {
+      val cp = TestGraphs.copurchase(s, dir)
+      val dg = cp.where(col("weight") >= 2).select("src", "dst")
+        .unionByName(cp.where(col("weight") >= 3)
+          .select(col("dst").as("src"), col("src").as("dst")))
+      graft.algos.Scc.run(s, dg,
+        s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+        .orderBy("id")
+    }),
+
+    // --- k-truss (edge-support peeling to fixpoint, k=3: every surviving
+    // edge closes ≥1 triangle within the truss); oracle = over-unrolled
+    // peel (fixpoint stable under extra rounds; ConvergenceProbe measured
+    // 2 rounds at sf0.01 AND sf0.1 — 5 rounds = 2.5× margin)
+    "ktruss3" -> ((s, dir) =>
+      graft.algos.Truss.converged(TestGraphs.copurchase(s, dir)
+        .where(col("weight") >= 2).select("src", "dst"), 3)
+        ._1.orderBy("src", "dst")),
+
     // --- truncated harmonic centrality (multi-root BFS, integer-exact
     // micro-unit scores — sums of round(1e6/d) over the 8 smallest-id
     // roots within 4 hops, so the whole score is a long in both engines)

@@ -33,8 +33,24 @@ object ConvergenceProbe {
       val (kc, kr) = KCore.converged(
         cp.where(col("weight") >= 2).select("src", "dst"), 3)
       val kRows = kc.count()
+      // r4: truss peel rounds (sizes the ktruss over-unroll) + scc shape
+      val (tr, trr) = graft.algos.Truss.converged(
+        cp.where(col("weight") >= 2).select("src", "dst"), 3)
+      val tRows = tr.count()
+      val sccStart = System.nanoTime()
+      val scc = graft.algos.Scc.run(spark,
+        cp.where(col("weight") >= 2).select("src", "dst")
+          .unionByName(cp.where(col("weight") >= 3)
+            .select(col("dst").as("src"), col("src").as("dst"))),
+        numPartitions = cpus, verbose = true)
+      val sccRows = scc.count()
+      val nontrivial = scc.groupBy("scc").agg(count(lit(1)).as("n"))
+        .where(col("n") > 1).count()
+      val sccSecs = (System.nanoTime() - sccStart) / 1e9
       println(s"PROBE $dir sssp_supersteps=${r.supersteps} " +
-        s"sssp_converged=${r.converged} kcore_rounds=$kr kcore_rows=$kRows")
+        s"sssp_converged=${r.converged} kcore_rounds=$kr kcore_rows=$kRows " +
+        s"truss_rounds=$trr truss_rows=$tRows " +
+        f"scc_rows=$sccRows scc_nontrivial=$nontrivial scc_secs=$sccSecs%.1f")
     }
     spark.stop()
   }

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.algos.{Scc, Truss}
+
+class SccTrussSpec extends SparkSpec {
+
+  private def sccMap(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    Scc.run(spark, edgesDf(pairs), numPartitions = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("scc golden: two 3-cycles joined by a one-way bridge") {
+    // cycle {0,1,2}, cycle {3,4,5}, bridge 2→3 (no way back)
+    val g = Seq[(Long, Long)]((0L, 1L), (1L, 2L), (2L, 0L),
+      (3L, 4L), (4L, 5L), (5L, 3L), (2L, 3L))
+    val got = sccMap(g)
+    assert(got === Map(0L -> 0L, 1L -> 0L, 2L -> 0L,
+      3L -> 3L, 4L -> 3L, 5L -> 3L))
+  }
+
+  test("scc golden: pure chain is all singletons (trim path)") {
+    val g = (0L until 6L).map(i => (i, i + 1))
+    val got = sccMap(g)
+    assert(got === (0L to 6L).map(v => v -> v).toMap)
+  }
+
+  test("scc golden: mutual pair inside a DAG") {
+    // 0→1, 1→2, 2→1 (2-cycle {1,2}), 2→3
+    val g = Seq[(Long, Long)]((0L, 1L), (1L, 2L), (2L, 1L), (2L, 3L))
+    val got = sccMap(g)
+    assert(got === Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 3L))
+  }
+
+  test("scc ≡ mutual-reachability oracle on seeded random digraphs") {
+    for (seed <- Seq(7, 21)) {
+      val g = Oracles.randomGraph(seed, 24, 60)
+      val verts = g.flatMap(p => Seq(p._1, p._2)).distinct
+      val want = Oracles.bruteScc(verts, g)
+      val got = sccMap(g)
+      assert(got === want, s"seed=$seed")
+    }
+  }
+
+  private def trussMap(pairs: Seq[(Long, Long)],
+                       k: Int): Map[(Long, Long), Long] =
+    Truss.converged(edgesDf(pairs), k)._1
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+  test("truss golden: K4 with pendants — 4-truss keeps exactly K4") {
+    // K4 on {0,1,2,3} + pendant edges 3-4, 4-5
+    val k4 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    val g = k4 ++ Seq((3L, 4L), (4L, 5L))
+    val got = trussMap(g, 4)
+    // every K4 edge closes 2 triangles inside K4
+    assert(got === k4.map(e => e -> 2L).toMap)
+    // k=5 needs support 3: K4 cannot supply it — empty truss
+    assert(trussMap(g, 5) === Map.empty)
+  }
+
+  test("truss golden: triangle chain peels to nothing at k=4") {
+    // two triangles sharing one vertex: each edge has support 1 only
+    val g = Seq[(Long, Long)]((0L, 1L), (1L, 2L), (0L, 2L),
+      (2L, 3L), (3L, 4L), (2L, 4L))
+    assert(trussMap(g, 4) === Map.empty)
+    // k=3 (support ≥ 1) keeps both triangles as they stand
+    assert(trussMap(g, 3) === g.map { case (a, b) =>
+      (math.min(a, b), math.max(a, b)) -> 1L
+    }.toMap)
+  }
+
+  test("truss ≡ brute peeling oracle on seeded random graphs") {
+    for (seed <- Seq(11, 42)) {
+      val g = Oracles.randomGraph(seed, 18, 70)
+      val want = Oracles.bruteTruss(g, 4)
+      val got = trussMap(g, 4)
+      assert(got === want, s"seed=$seed")
+    }
+  }
+}

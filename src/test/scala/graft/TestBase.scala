@@ -185,6 +185,54 @@ object Oracles {
     dist
   }
 
+  /** SCC by definition (mutual reachability, per-vertex DFS — O(n·m),
+    * algorithm-independent of the engine's FW-BW coloring): scc(v) = min id
+    * mutually reachable with v.
+    */
+  def bruteScc(vertices: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val adj = edges.filter(e => e._1 != e._2).distinct
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def reach(s: Long): Set[Long] = {
+      var seen = Set(s)
+      var stack = List(s)
+      while (stack.nonEmpty) {
+        val v = stack.head; stack = stack.tail
+        for (w <- adj.getOrElse(v, Nil) if !seen(w)) {
+          seen += w; stack ::= w
+        }
+      }
+      seen
+    }
+    val r = vertices.map(v => v -> reach(v)).toMap
+    vertices.map(v => v -> vertices.filter(u => r(v)(u) && r(u)(v)).min).toMap
+  }
+
+  /** k-truss by iterative support peeling to fixpoint on the simple
+    * undirected graph; returns surviving (min,max) edges with their final
+    * in-truss support.
+    */
+  def bruteTruss(edges: Seq[(Long, Long)],
+                 k: Int): Map[(Long, Long), Long] = {
+    def support(e: Set[(Long, Long)]): Map[(Long, Long), Long] = {
+      val nbrs = e.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      e.toSeq.map { case (a, b) =>
+        (a, b) -> (nbrs(a) & nbrs(b)).size.toLong
+      }.toMap
+    }
+    var es = edges.flatMap { case (a, b) =>
+      if (a == b) Nil else Seq((math.min(a, b), math.max(a, b)))
+    }.distinct.toSet
+    var changed = true
+    while (changed) {
+      val supp = support(es)
+      val next = es.filter(p => supp(p) >= k - 2)
+      changed = next.size != es.size
+      es = next
+    }
+    if (es.isEmpty) Map.empty else support(es)
+  }
+
   /** Seeded random simple directed graph. */
   def randomGraph(seed: Int, n: Int, m: Int): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(seed)
