@@ -411,6 +411,12 @@ object OracleSql {
          |SELECT src, dst, CAST(support AS BIGINT) AS support
          |FROM s5 WHERE support >= 1 ORDER BY src, dst""".stripMargin,
 
+    // the drained keyed-state degree counters ≡ the batch out-degrees
+    "stream_degrees" ->
+      s"""WITH cp AS ($CP)
+         |SELECT src AS id, CAST(count(*) AS BIGINT) AS outdeg
+         |FROM cp GROUP BY 1 ORDER BY id""".stripMargin,
+
     // neighbor-set Jaccard over the filtered symmetrized graph
     "g_jaccard_sim" ->
       s"""WITH cp AS MATERIALIZED ($CP),

@@ -267,6 +267,15 @@ object Queries {
         .windowedCountsViaStream(TestGraphs.table(s, dir, "events"))
         .orderBy("hour_bucket", "event_type")),
 
+    // Keyed-state streaming path (mapGroupsWithState, update mode) under
+    // the oracle: per-vertex running out-degree counters drained over a
+    // bounded replay — final state ≡ the batch out-degrees (the counter is
+    // monotone, so max over update rows is exact).
+    "stream_degrees" -> ((s, dir) =>
+      graft.streaming.EdgeStream
+        .runningDegreesViaStream(TestGraphs.copurchase(s, dir))
+        .orderBy("id")),
+
     "dedup_jaccard3" -> ((s, dir) =>
       Dedup.jaccardPairs(docs(s, dir), 3, 0.5).orderBy("doc1", "doc2")),
 

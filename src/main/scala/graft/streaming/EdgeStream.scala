@@ -91,6 +91,52 @@ object EdgeStream {
     }
   }
 
+  /** Run [[runningOutDegrees]] as a bounded Structured Streaming job and
+    * return its drained final state: edges re-written as `splits` parquet
+    * files, streamed back one file per micro-batch, the
+    * mapGroupsWithState counter emitting an update row per touched vertex
+    * per batch into an update-mode memory sink. The counter is MONOTONE,
+    * so the final state per vertex is exactly max(outdeg) over its update
+    * rows ≡ the batch out-degree — the keyed-state analog of the
+    * complete-mode replays above, and the oracle-checked gate for the
+    * mapGroupsWithState path (`stream_degrees`).
+    */
+  def runningDegreesViaStream(edges: DataFrame, splits: Int = 4): DataFrame = {
+    import org.apache.spark.sql.types._
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dstream").toString
+    try {
+      edges.select(col("src"), col("dst")).repartition(splits)
+        .write.mode("overwrite").parquet(tmp)
+      val schema = StructType(Seq(
+        StructField("src", LongType), StructField("dst", LongType)))
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(tmp)
+      // fixed synthetic ts: the counter ignores event time (no watermark)
+      val ev = stream.select(col("src"), col("dst"),
+        lit(new Timestamp(0L)).as("ts")).as[EdgeEvent]
+      val name = s"graft_stream_deg_${runCounter.incrementAndGet()}"
+      val q = runningOutDegrees(ev).toDF()
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val out = spark.table(name)
+        .groupBy("id").agg(max(col("outdeg")).as("outdeg"))
+        .localCheckpoint(true)
+      spark.catalog.dropTempView(name)
+      out
+    } finally {
+      import java.nio.file.{Files => F, Path}
+      val walk = F.walk(Path.of(tmp))
+      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => F.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
   /** Exact running out-degree per vertex in keyed state; emits the updated
     * degree for every vertex touched in a micro-batch (Update output mode).
     */
