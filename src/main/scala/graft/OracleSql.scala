@@ -105,6 +105,22 @@ object OracleSql {
     (d0 +: rounds).mkString(",\n ")
   }
 
+  /** Unrolled BFS chain named `p0..pk` from a scalar-subquery source
+    * (needs e, v in scope); unit steps in double — integer-valued, exact.
+    */
+  private def bfsChain(p: String, k: Int, srcSel: String): String = {
+    val d0 = s"${p}0 AS MATERIALIZED (SELECT v.id, CASE WHEN v.id = ($srcSel) " +
+      "THEN 0.0 ELSE CAST(NULL AS DOUBLE) END AS dist FROM v)"
+    val rounds = (1 to k).map { i =>
+      s"""$p$i AS MATERIALIZED (
+         |  SELECT q.id, CASE WHEN m.nd IS NULL THEN q.dist WHEN q.dist IS NULL OR m.nd < q.dist THEN m.nd ELSE q.dist END AS dist
+         |  FROM $p${i - 1} q LEFT JOIN (
+         |    SELECT e.dst AS id, min(dd.dist + 1.0) AS nd
+         |    FROM e JOIN $p${i - 1} dd ON e.src = dd.id WHERE dd.dist IS NOT NULL GROUP BY e.dst) m ON q.id = m.id)""".stripMargin
+    }
+    (d0 +: rounds).mkString(",\n ")
+  }
+
   /** Multi-root BFS levels over dense (root, id) state (needs e, v, roots). */
   private def harmonicRounds(k: Int): String = {
     val h0 = "h0 AS MATERIALIZED (SELECT r.root, v.id, " +
@@ -312,6 +328,32 @@ object OracleSql {
          |  UNION
          |  SELECT e.dst AS id, r.lbl FROM reach r JOIN e ON r.id = e.src)
          |SELECT id, min(lbl) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin,
+
+    // star-contraction CC reaches the same fixpoint as HashMin — shared
+    // closure oracle (cc's SQL verbatim)
+    "cc_stars" ->
+      s"""WITH RECURSIVE cp AS ($CP),
+         | cpf AS (SELECT src, dst FROM cp WHERE weight >= 2),
+         | e AS (SELECT src, dst FROM cpf UNION SELECT dst, src FROM cpf),
+         | reach AS (
+         |  SELECT src AS id, src AS lbl FROM e
+         |  UNION
+         |  SELECT e.dst AS id, r.lbl FROM reach r JOIN e ON r.id = e.src)
+         |SELECT id, min(lbl) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin,
+
+    // double-sweep diameter lower bound: two 8-round unrolled BFS chains,
+    // far = argmax(dist, min-id tiebreak) of sweep 1
+    "diameter2sweep" ->
+      s"""WITH $UND,
+         | ${bfsChain("p", 8, "SELECT min(src) FROM e")},
+         | far AS MATERIALIZED (
+         |  SELECT id FROM p8 WHERE dist IS NOT NULL
+         |  ORDER BY dist DESC, id LIMIT 1),
+         | ${bfsChain("q", 8, "SELECT id FROM far")}
+         |SELECT CAST((SELECT min(src) FROM e) AS BIGINT) AS root,
+         |  CAST((SELECT id FROM far) AS BIGINT) AS far,
+         |  CAST(max(dist) AS BIGINT) AS diameter_lb
+         |FROM q8 WHERE dist IS NOT NULL ORDER BY root""".stripMargin,
 
     "lp5" ->
       s"WITH $UND,\n ${lpRounds(5)}\nSELECT id, label FROM l5 ORDER BY id",

@@ -204,6 +204,23 @@ object Queries {
       ConnectedComponents.run(s, cpf, cfg(s)).state.orderBy("id")
     }),
 
+    // --- CC via large-star/small-star contraction (Kiveris et al.): the
+    // diameter-immune scale path — O(log² n) rounds where HashMin needs
+    // O(diameter). Same fixpoint as `cc`, so it shares the closure oracle.
+    "cc_stars" -> ((s, dir) => {
+      val cpf = TestGraphs.copurchase(s, dir)
+        .where(col("weight") >= 2).select("src", "dst")
+      graft.algos.ConnectedComponents.stars(s, cpf,
+        s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+        ._1.orderBy("id")
+    }),
+
+    // --- double-sweep BFS diameter lower bound (integer-exact, one row);
+    // both sweeps unrolled k rounds ≥ the measured eccentricities, the
+    // DuckDB twin unrolls the same chains
+    "diameter2sweep" -> ((s, dir) =>
+      Paths.doubleSweepDiameter(und(s, dir), 8).orderBy("root")),
+
     // --- label propagation (A3): 5 synchronous rounds --------------------
     "lp5" -> ((s, dir) =>
       LabelPropagation.fixedRounds(und(s, dir), 5)

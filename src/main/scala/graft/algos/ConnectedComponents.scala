@@ -39,4 +39,93 @@ object ConnectedComponents {
       cfg.copy(tol = 0.0), resume)
     r.copy(state = r.state.select(col("id"), col("label").as("component")))
   }
+
+  /** Large-star/small-star components (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC 2014): alternating star
+    * contractions converge in O(log² n) ROUNDS regardless of diameter,
+    * where [[run]]'s HashMin needs O(diameter) rounds — the scale path for
+    * high-diameter graphs (chains of links, long dependency paths). Per
+    * round:
+    *
+    *  - '''large-star''': every vertex u points its LARGER neighbors at
+    *    m = min(N(u) ∪ u) — emit (v, m) for v ∈ N(u), v > u;
+    *  - '''small-star''': u links its ≤-neighbors and itself to
+    *    m = min({v ∈ N(u): v ≤ u} ∪ u) — emit (v, m) for those v plus
+    *    (u, m).
+    *
+    * Both preserve connectivity and monotonically pull ids toward the
+    * component minimum; at the fixpoint the edge set is a star forest
+    * (v → component-min root). Convergence is detected on the edge
+    * MULTISET (count + order-independent xxhash64 xor — one agg riding
+    * the materializing action). Output ((id, component), rounds) — exact,
+    * same result as [[run]], shared oracle.
+    */
+  def stars(spark: SparkSession, edges: DataFrame, numPartitions: Int = 32,
+            maxRounds: Int = 200): (DataFrame, Int) = {
+    val verts = GraphOps.vertices(edges.select("src", "dst"))
+      .localCheckpoint(true)
+    var e = edges.select("src", "dst").where(col("src") =!= col("dst"))
+      .distinct()
+      .repartition(numPartitions, col("src"))
+      .localCheckpoint(true)
+
+    def nbrs(ed: DataFrame): DataFrame =
+      ed.select(col("src").as("u"), col("dst").as("v"))
+        .union(ed.select(col("dst").as("u"), col("src").as("v")))
+
+    def largeStar(ed: DataFrame): DataFrame = {
+      val t = nbrs(ed)
+      val m = t.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+      t.join(m, "u").where(col("v") > col("u"))
+        .select(col("v").as("src"), col("m").as("dst"))
+        .where(col("src") =!= col("dst")).distinct()
+    }
+
+    def smallStar(ed: DataFrame): DataFrame = {
+      val t = nbrs(ed)
+      // least() skips nulls, so vertices with no ≤-neighbor fall back to u
+      val m = t.groupBy("u")
+        .agg(least(min(when(col("v") <= col("u"), col("v"))),
+          col("u")).as("m"))
+      val linked = t.where(col("v") <= col("u"))
+        .join(m, "u")
+        .select(col("v").as("src"), col("m").as("dst"))
+      val self = m.select(col("u").as("src"), col("m").as("dst"))
+      linked.union(self)
+        .where(col("src") =!= col("dst")).distinct()
+    }
+
+    // order-independent multiset signature: count + xor of row hashes
+    // (xor, not sum — ANSI mode makes a long-sum overflow throw, and the
+    // distinct edge set cannot cancel xor terms)
+    def sig(ed: DataFrame): (Long, Long) = {
+      val r = ed.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(src, dst))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    var s = sig(e)
+    var rounds = 0
+    var done = e.isEmpty
+    while (rounds < maxRounds && !done) {
+      val next = smallStar(largeStar(e))
+        .repartition(numPartitions, col("src"))
+        .localCheckpoint(false)
+      val s2 = sig(next) // materializes the round in one job
+      done = s2 == s
+      s = s2
+      e = next
+      rounds += 1
+    }
+    if (!done)
+      throw new IllegalStateException(
+        s"star contraction did not converge in $maxRounds rounds")
+    // fixpoint edge set is a star forest (v → root); isolated vertices are
+    // their own component
+    val comp = verts
+      .join(e.select(col("src").as("id"), col("dst").as("root")),
+        Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("root"), col("id")).as("component"))
+    (comp, rounds)
+  }
 }

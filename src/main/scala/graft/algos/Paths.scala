@@ -93,6 +93,29 @@ object Paths {
       .select(col("id"), coalesce(col("harmonic"), lit(0L)).as("harmonic"))
   }
 
+  /** Double-sweep BFS diameter lower bound (the standard 2-BFS heuristic;
+    * exact on trees, a tight lower bound in practice): sweep 1 from the
+    * min-id vertex finds the peripheral vertex `far` (max dist, min-id
+    * tie-break); sweep 2 from `far` — its max distance is the bound. Each
+    * sweep is a fixed `k`-round unrolled BFS (k ≥ the graph's eccentricity
+    * ⇒ the fixpoint is reached and stable under the extra rounds, so the
+    * DuckDB twin unrolls the same chains). All integer-exact: one row
+    * (root, far, diameter_lb).
+    */
+  def doubleSweepDiameter(edges: DataFrame, k: Int): DataFrame = {
+    val e = edges.select("src", "dst").localCheckpoint(true)
+    val root = e.agg(min(col("src")))
+    val d1 = fixedRounds(e, root, k, weighted = false)
+    val far = d1.where(col("dist").isNotNull)
+      .orderBy(col("dist").desc, col("id").asc).limit(1).select("id")
+    val d2 = fixedRounds(e, far, k, weighted = false)
+    d2.where(col("dist").isNotNull)
+      .agg(max(col("dist")).cast("long").as("diameter_lb"))
+      .crossJoin(broadcast(root.toDF("root")))
+      .crossJoin(broadcast(far.toDF("far")))
+      .select(col("root"), col("far"), col("diameter_lb"))
+  }
+
   /** k rounds of min-plus relaxation (Bellman-Ford unrolled — distance
     * over paths of ≤ k edges). Matches the unrolled DuckDB SQL exactly;
     * weights must be integral for the exact gate. The source is a one-row

@@ -77,4 +77,47 @@ class SccTrussSpec extends SparkSpec {
       assert(got === want, s"seed=$seed")
     }
   }
+
+  private def starsMap(pairs: Seq[(Long, Long)]): (Map[Long, Long], Int) = {
+    val (df, r) = graft.algos.ConnectedComponents
+      .stars(spark, edgesDf(pairs), numPartitions = 4)
+    (df.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap, r)
+  }
+
+  test("stars CC ≡ union-find on goldens and seeded random graphs") {
+    val goldens = Seq(
+      Seq[(Long, Long)]((0L, 1L), (1L, 2L), (3L, 4L)), // two components
+      Seq[(Long, Long)]((5L, 1L), (1L, 9L), (9L, 5L), (2L, 7L)), // cycle
+      (0L until 10L).map(i => (i, i + 1)) // path
+    )
+    for ((g, i) <- (goldens ++ Seq(7, 21).map(Oracles.randomGraph(_, 30, 45)))
+           .zipWithIndex) {
+      val verts = g.flatMap(p => Seq(p._1, p._2)).distinct
+      val want = Oracles.unionFind(verts, g)
+      val (got, _) = starsMap(g)
+      assert(got === want, s"graph #$i")
+    }
+  }
+
+  test("stars CC round count is log-bounded on a path (diameter-immune)") {
+    // a 256-vertex path has diameter 255: HashMin needs 255 rounds, the
+    // star contraction must stay within O(log² n) — assert a hard cap
+    val path = (0L until 255L).map(i => (i, i + 1))
+    val (got, rounds) = starsMap(path)
+    assert(got === (0L to 255L).map(v => v -> 0L).toMap)
+    assert(rounds <= 20, s"rounds=$rounds")
+  }
+
+  test("doubleSweepDiameter exact on a path and tree") {
+    // path 0-1-...-7: root=0, far=7 (dist 7), sweep2 from 7 → dlb = 7
+    val path = (0L until 7L).map(i => (i, i + 1))
+    val und = edgesDf(path.flatMap { case (a, b) => Seq((a, b), (b, a)) })
+    val r = graft.algos.Paths.doubleSweepDiameter(und, 10).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((0L, 7L, 7L)))
+    // star K1,4 centered at 0: ecc(0)=1, far=1, diameter 2 via the center
+    val star = (1L to 4L).map(l => (0L, l))
+    val undS = edgesDf(star.flatMap { case (a, b) => Seq((a, b), (b, a)) })
+    val r2 = graft.algos.Paths.doubleSweepDiameter(undS, 5).head()
+    assert((r2.getLong(0), r2.getLong(1), r2.getLong(2)) === ((0L, 1L, 2L)))
+  }
 }
