@@ -137,6 +137,42 @@ object OracleSql {
     (h0 +: rounds).mkString(",\n ")
   }
 
+  /** Weighted multi-root min-plus levels (needs e(src,dst,w), v, roots). */
+  private def harmonicWRounds(k: Int): String = {
+    val h0 = "h0 AS MATERIALIZED (SELECT r.root, v.id, " +
+      "CASE WHEN v.id = r.root THEN 0.0 ELSE CAST(NULL AS DOUBLE) END AS dist " +
+      "FROM v CROSS JOIN roots r)"
+    val rounds = (1 to k).map { i =>
+      s"""h$i AS MATERIALIZED (
+         |  SELECT p.root, p.id, CASE WHEN m.nd IS NULL THEN p.dist WHEN p.dist IS NULL OR m.nd < p.dist THEN m.nd ELSE p.dist END AS dist
+         |  FROM h${i - 1} p LEFT JOIN (
+         |    SELECT dd.root, e.dst AS id, min(dd.dist + e.w) AS nd
+         |    FROM e JOIN h${i - 1} dd ON e.src = dd.id WHERE dd.dist IS NOT NULL GROUP BY dd.root, e.dst) m
+         |  ON p.root = m.root AND p.id = m.id)""".stripMargin
+    }
+    (h0 +: rounds).mkString(",\n ")
+  }
+
+  /** Unrolled Luby MIS rounds with md5 priorities (needs e, v in scope):
+    * per round — strict priority local-max among undecided neighbors wins,
+    * winners' neighbors drop out. Fixpoint (everyone decided) is stable
+    * under extra rounds.
+    */
+  private def misRounds(k: Int): String = {
+    val a0 = "a0 AS MATERIALIZED (SELECT id, md5(CAST(id AS VARCHAR)) AS p FROM v)"
+    val rounds = (1 to k).map { i =>
+      s"""w$i AS MATERIALIZED (
+         |  SELECT a.id FROM a${i - 1} a LEFT JOIN (
+         |    SELECT e.dst AS id, max(x.p) AS mp FROM e JOIN a${i - 1} x ON e.src = x.id GROUP BY e.dst) m
+         |  ON a.id = m.id WHERE m.mp IS NULL OR a.p > m.mp),
+         | o$i AS MATERIALIZED (SELECT DISTINCT e.dst AS id FROM e JOIN w$i w ON e.src = w.id),
+         | a$i AS MATERIALIZED (SELECT a.id, a.p FROM a${i - 1} a
+         |  WHERE a.id NOT IN (SELECT id FROM w$i) AND a.id NOT IN (SELECT id FROM o$i))""".stripMargin
+    }
+    val wins = (1 to k).map(i => s"SELECT id FROM w$i").mkString(" UNION ")
+    ((a0 +: rounds) :+ s"wins AS MATERIALIZED ($wins)").mkString(",\n ")
+  }
+
   /** Personalized-PR rounds: teleport only to S (predicate on id). */
   private def pprRounds(k: Int, pred: String => String): String = {
     val rounds = (1 to k).map { i =>
@@ -482,6 +518,29 @@ object OracleSql {
       s"""WITH $UND,
          | roots AS MATERIALIZED (SELECT id AS root FROM v ORDER BY id LIMIT 8),
          | ${harmonicRounds(4)}
+         |SELECT v.id, coalesce(s.harmonic, 0) AS harmonic FROM v LEFT JOIN (
+         |  SELECT id, CAST(sum(CAST(round(1000000.0 / dist, 0) AS BIGINT)) AS BIGINT) AS harmonic
+         |  FROM h4 WHERE dist > 0 GROUP BY id) s ON v.id = s.id ORDER BY v.id""".stripMargin,
+
+    // Luby MIS with md5 priorities, over-unrolled (ConvergenceProbe:
+    // 4 rounds at sf0.01, 3 at sf0.1 — 8 = 2x margin)
+    "mis" ->
+      s"""WITH cp AS MATERIALIZED ($CP),
+         | cpf AS (SELECT src, dst FROM cp WHERE weight >= 2),
+         | e AS MATERIALIZED (SELECT src, dst FROM cpf UNION SELECT dst, src FROM cpf),
+         | v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         | ${misRounds(8)}
+         |SELECT v.id, CAST(CASE WHEN v.id IN (SELECT id FROM wins) THEN 1 ELSE 0 END AS BIGINT) AS in_mis
+         |FROM v ORDER BY v.id""".stripMargin,
+
+    // weighted truncated harmonic centrality (min-plus, integral weights
+    // keep the micro-unit scores exact)
+    "harmonic_w8" ->
+      s"""WITH cp AS MATERIALIZED ($CP),
+         | e AS MATERIALIZED (SELECT src, dst, CAST(weight AS DOUBLE) AS w FROM cp UNION ALL SELECT dst, src, CAST(weight AS DOUBLE) FROM cp),
+         | v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         | roots AS MATERIALIZED (SELECT id AS root FROM v ORDER BY id LIMIT 8),
+         | ${harmonicWRounds(4)}
          |SELECT v.id, coalesce(s.harmonic, 0) AS harmonic FROM v LEFT JOIN (
          |  SELECT id, CAST(sum(CAST(round(1000000.0 / dist, 0) AS BIGINT)) AS BIGINT) AS harmonic
          |  FROM h4 WHERE dist > 0 GROUP BY id) s ON v.id = s.id ORDER BY v.id""".stripMargin,

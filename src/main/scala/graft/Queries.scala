@@ -396,6 +396,26 @@ object Queries {
     "harmonic8" -> ((s, dir) =>
       Paths.harmonicFixedRounds(und(s, dir), 8, 4).orderBy("id")),
 
+    // --- maximal independent set (Luby, md5 priorities — deterministic in
+    // BOTH engines, unlike coloring's xxhash64): converged run; the oracle
+    // over-unrolls the rounds (fixpoint = everyone decided, stable under
+    // extra rounds; ConvergenceProbe measures the count)
+    "mis" -> ((s, dir) =>
+      graft.algos.Mis.run(s, TestGraphs.copurchase(s, dir)
+        .where(col("weight") >= 2).select("src", "dst"),
+        s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+        ._1.orderBy("id")),
+
+    // --- weighted truncated harmonic centrality: min-plus multi-root
+    // sweep over the weighted undirected graph; integral weights keep
+    // round(1e6/d) engine-exact
+    "harmonic_w8" -> ((s, dir) => {
+      val cp = TestGraphs.copurchase(s, dir)
+      val ew = cp.select(col("src"), col("dst"), col("weight"))
+        .union(cp.select(col("dst"), col("src"), col("weight")))
+      Paths.harmonicFixedRounds(ew, 8, 4, weighted = true).orderBy("id")
+    }),
+
     // --- distinct cardinality (§2.6): exact two-phase distinct agg --------
     "distinct_users" -> ((s, dir) =>
       graft.functions.Cardinality.exactDistinct(

@@ -66,20 +66,26 @@ object Paths {
     * state against the fixed edge layout, numRoots× a BFS.
     */
   def harmonicFixedRounds(edges: DataFrame, numRoots: Int,
-                          k: Int): DataFrame = {
-    val e = edges.select("src", "dst").localCheckpoint(true)
-    val verts = GraphOps.vertices(e)
+                          k: Int, weighted: Boolean = false): DataFrame = {
+    val e = (
+      if (weighted) edges.select(col("src"), col("dst"),
+        col("weight").cast("double").as("w"))
+      else edges.select(col("src"), col("dst"), lit(1.0).as("w"))
+    ).localCheckpoint(true)
+    val verts = GraphOps.vertices(e.select("src", "dst"))
     val roots = verts.orderBy("id").limit(numRoots)
       .select(col("id").as("root"))
+    // dist travels as double either way; with integral edge weights every
+    // value is integer-valued, so round(1e6/d) stays engine-exact
     var dist = verts.crossJoin(broadcast(roots))
       .select(col("root"), col("id"),
-        when(col("id") === col("root"), lit(0))
-          .otherwise(lit(null).cast("int")).as("dist"))
+        when(col("id") === col("root"), lit(0.0))
+          .otherwise(lit(null).cast("double")).as("dist"))
     for (i <- 1 to k) {
       val msgs = e.join(dist.where(col("dist").isNotNull)
           .withColumnRenamed("id", "src"), "src")
         .groupBy(col("root"), col("dst").as("id"))
-        .agg((min(col("dist")) + 1).as("nd"))
+        .agg(min(col("dist") + col("w")).as("nd"))
       dist = dist.join(msgs, Seq("root", "id"), "left_outer")
         .select(col("root"), col("id"),
           least(col("dist"), col("nd")).as("dist"))

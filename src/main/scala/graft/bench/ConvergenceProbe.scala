@@ -47,6 +47,11 @@ object ConvergenceProbe {
       val nontrivial = scc.groupBy("scc").agg(count(lit(1)).as("n"))
         .where(col("n") > 1).count()
       val sccSecs = (System.nanoTime() - sccStart) / 1e9
+      val (misDf, misR) = graft.algos.Mis.run(spark,
+        cp.where(col("weight") >= 2).select("src", "dst"),
+        numPartitions = cpus)
+      val misIn = misDf.agg(sum(col("in_mis"))).head().getLong(0)
+      println(s"PROBE $dir mis_rounds=$misR mis_size=$misIn")
       println(s"PROBE $dir sssp_supersteps=${r.supersteps} " +
         s"sssp_converged=${r.converged} kcore_rounds=$kr kcore_rows=$kRows " +
         s"truss_rounds=$trr truss_rows=$tRows " +

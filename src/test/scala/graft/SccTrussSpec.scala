@@ -108,6 +108,47 @@ class SccTrussSpec extends SparkSpec {
     assert(rounds <= 20, s"rounds=$rounds")
   }
 
+  test("MIS ≡ sequential Luby (md5 priorities), independent and maximal") {
+    for (seed <- Seq(5, 13)) {
+      val g = Oracles.randomGraph(seed, 25, 55)
+      val verts = g.flatMap(p => Seq(p._1, p._2)).distinct
+      val want = Oracles.bruteMis(verts, g)
+      val (df, _) = graft.algos.Mis.run(spark, edgesDf(g),
+        numPartitions = 4)
+      val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want, s"seed=$seed")
+      // independence: no edge with both endpoints in the set
+      val und = g.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      assert(!und.exists { case (a, b) =>
+        a != b && got(a) == 1L && got(b) == 1L
+      })
+      // maximality: every excluded vertex has an in-set neighbor
+      val adj = und.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      assert(verts.filter(got(_) == 0L).forall(v =>
+        adj.getOrElse(v, Nil).exists(got(_) == 1L)))
+    }
+  }
+
+  test("weighted harmonic: unit weights ≡ unweighted; weights lower scores") {
+    val g = Seq[(Long, Long)]((0L, 1L), (1L, 2L), (2L, 3L), (0L, 3L))
+    val und = g.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val s = spark
+    import s.implicits._
+    val unit = und.map { case (a, b) => (a, b, 1L) }.toDF("src", "dst", "weight")
+    val uw = graft.algos.Paths.harmonicFixedRounds(edgesDf(und), 4, 3)
+      .orderBy("id").collect().toSeq
+    val wu = graft.algos.Paths.harmonicFixedRounds(unit, 4, 3,
+      weighted = true).orderBy("id").collect().toSeq
+    assert(uw === wu)
+    // hand-computed: 4-cycle with weight 2 — per vertex, two neighbors at
+    // dist 2 and one at dist 4 ⇒ 2·round(1e6/2) + round(1e6/4) = 1250000
+    val w2 = und.map { case (a, b) => (a, b, 2L) }.toDF("src", "dst", "weight")
+    val got = graft.algos.Paths.harmonicFixedRounds(w2, 4, 3,
+      weighted = true).orderBy("id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (0L to 3L).map(_ -> 1250000L).toMap)
+  }
+
   test("doubleSweepDiameter exact on a path and tree") {
     // path 0-1-...-7: root=0, far=7 (dist 7), sweep2 from 7 → dlb = 7
     val path = (0L until 7L).map(i => (i, i + 1))

@@ -233,6 +233,32 @@ object Oracles {
     if (es.isEmpty) Map.empty else support(es)
   }
 
+  /** Sequential Luby MIS with the engine's md5 priorities (same rounds,
+    * same winners — exact-equality reference for [[graft.algos.Mis]]).
+    */
+  def bruteMis(vertices: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val p = vertices.map(v => v -> md5hex(v.toString)).toMap
+    val und = edges.flatMap { case (a, b) =>
+      if (a == b) Nil else Seq((a, b), (b, a))
+    }.distinct
+    val adj = und.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    var active = vertices.toSet
+    var in = Set.empty[Long]
+    while (active.nonEmpty) {
+      val winners = active.filter(v =>
+        adj.getOrElse(v, Set.empty).intersect(active)
+          .forall(u => p(v) > p(u)))
+      val out = winners.flatMap(w => adj.getOrElse(w, Set.empty))
+        .intersect(active)
+      in ++= winners
+      active = active -- winners -- out
+    }
+    vertices.map(v => v -> (if (in(v)) 1L else 0L)).toMap
+  }
+
   /** Seeded random simple directed graph. */
   def randomGraph(seed: Int, n: Int, m: Int): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(seed)
