@@ -173,6 +173,29 @@ object OracleSql {
     ((a0 +: rounds) :+ s"wins AS MATERIALIZED ($wins)").mkString(",\n ")
   }
 
+  /** Unrolled greedy-matching rounds over a canonical (src<dst) simple
+    * edge CTE named `cpf`: an edge wins when its md5 priority is the max
+    * at BOTH endpoints; winners' endpoints leave. Fixpoint (no active
+    * edges) stable under extra rounds.
+    */
+  private def matchRounds(k: Int): String = {
+    val m0 = "m0 AS MATERIALIZED (SELECT src, dst, " +
+      "md5(CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR)) AS p FROM cpf)"
+    val rounds = (1 to k).map { i =>
+      s"""bv$i AS MATERIALIZED (
+         |  SELECT v, max(p) AS mp FROM (
+         |    SELECT src AS v, p FROM m${i - 1} UNION ALL SELECT dst, p FROM m${i - 1}) GROUP BY v),
+         | w$i AS MATERIALIZED (
+         |  SELECT m.src, m.dst FROM m${i - 1} m JOIN bv$i a ON m.src = a.v JOIN bv$i b ON m.dst = b.v
+         |  WHERE m.p = a.mp AND m.p = b.mp),
+         | u$i AS MATERIALIZED (SELECT src AS v FROM w$i UNION SELECT dst FROM w$i),
+         | m$i AS MATERIALIZED (SELECT src, dst, p FROM m${i - 1}
+         |  WHERE src NOT IN (SELECT v FROM u$i) AND dst NOT IN (SELECT v FROM u$i))""".stripMargin
+    }
+    val wins = (1 to k).map(i => s"SELECT src, dst FROM w$i").mkString(" UNION ALL ")
+    ((m0 +: rounds) :+ s"allw AS MATERIALIZED ($wins)").mkString(",\n ")
+  }
+
   /** Personalized-PR rounds: teleport only to S (predicate on id). */
   private def pprRounds(k: Int, pred: String => String): String = {
     val rounds = (1 to k).map { i =>
@@ -532,6 +555,14 @@ object OracleSql {
          | ${misRounds(8)}
          |SELECT v.id, CAST(CASE WHEN v.id IN (SELECT id FROM wins) THEN 1 ELSE 0 END AS BIGINT) AS in_mis
          |FROM v ORDER BY v.id""".stripMargin,
+
+    // greedy maximal matching, over-unrolled (ConvergenceProbe: 6 rounds
+    // at sf0.01, 3 at sf0.1 — 12 = 2x margin)
+    "matching" ->
+      s"""WITH cp AS MATERIALIZED ($CP),
+         | cpf AS (SELECT src, dst FROM cp WHERE weight >= 2),
+         | ${matchRounds(12)}
+         |SELECT src, dst FROM allw ORDER BY src, dst""".stripMargin,
 
     // weighted truncated harmonic centrality (min-plus, integral weights
     // keep the micro-unit scores exact)

@@ -406,6 +406,15 @@ object Queries {
         s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
         ._1.orderBy("id")),
 
+    // --- maximal matching (greedy by md5 edge priority — the MIS recipe
+    // on the line graph without materializing it): converged run, oracle
+    // over-unrolled (6/3 measured rounds → 12)
+    "matching" -> ((s, dir) =>
+      graft.algos.Matching.run(s, TestGraphs.copurchase(s, dir)
+        .where(col("weight") >= 2).select("src", "dst"),
+        s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+        ._1.orderBy("src", "dst")),
+
     // --- weighted truncated harmonic centrality: min-plus multi-root
     // sweep over the weighted undirected graph; integral weights keep
     // round(1e6/d) engine-exact

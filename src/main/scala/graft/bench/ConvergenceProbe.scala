@@ -52,6 +52,10 @@ object ConvergenceProbe {
         numPartitions = cpus)
       val misIn = misDf.agg(sum(col("in_mis"))).head().getLong(0)
       println(s"PROBE $dir mis_rounds=$misR mis_size=$misIn")
+      val (mDf, mR) = graft.algos.Matching.run(spark,
+        cp.where(col("weight") >= 2).select("src", "dst"),
+        numPartitions = cpus)
+      println(s"PROBE $dir matching_rounds=$mR matching_size=${mDf.count()}")
       println(s"PROBE $dir sssp_supersteps=${r.supersteps} " +
         s"sssp_converged=${r.converged} kcore_rounds=$kr kcore_rows=$kRows " +
         s"truss_rounds=$trr truss_rows=$tRows " +

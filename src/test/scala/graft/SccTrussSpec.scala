@@ -149,6 +149,25 @@ class SccTrussSpec extends SparkSpec {
     assert(got === (0L to 3L).map(_ -> 1250000L).toMap)
   }
 
+  test("matching ≡ sequential greedy (md5 priorities), valid and maximal") {
+    for (seed <- Seq(3, 17)) {
+      val g = Oracles.randomGraph(seed, 25, 60)
+      val want = Oracles.bruteMatching(g)
+      val (df, _) = graft.algos.Matching.run(spark, edgesDf(g),
+        numPartitions = 4)
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === want, s"seed=$seed")
+      // validity: no two matching edges share an endpoint
+      val ends = got.toSeq.flatMap(e => Seq(e._1, e._2))
+      assert(ends.distinct.size === ends.size)
+      // maximality: every input edge touches a matched vertex
+      val endSet = ends.toSet
+      assert(g.filter(e => e._1 != e._2).forall { case (a, b) =>
+        endSet(a) || endSet(b)
+      }, s"seed=$seed not maximal")
+    }
+  }
+
   test("doubleSweepDiameter exact on a path and tree") {
     // path 0-1-...-7: root=0, far=7 (dist 7), sweep2 from 7 → dlb = 7
     val path = (0L until 7L).map(i => (i, i + 1))

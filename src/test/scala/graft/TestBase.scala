@@ -233,13 +233,14 @@ object Oracles {
     if (es.isEmpty) Map.empty else support(es)
   }
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+
   /** Sequential Luby MIS with the engine's md5 priorities (same rounds,
     * same winners — exact-equality reference for [[graft.algos.Mis]]).
     */
   def bruteMis(vertices: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
-    def md5hex(s: String): String =
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
     val p = vertices.map(v => v -> md5hex(v.toString)).toMap
     val und = edges.flatMap { case (a, b) =>
       if (a == b) Nil else Seq((a, b), (b, a))
@@ -257,6 +258,30 @@ object Oracles {
       active = active -- winners -- out
     }
     vertices.map(v => v -> (if (in(v)) 1L else 0L)).toMap
+  }
+
+  /** Sequential greedy maximal matching with the engine's md5 edge
+    * priorities (locally-max edges win each round) — exact-equality
+    * reference for [[graft.algos.Matching]].
+    */
+  def bruteMatching(edges: Seq[(Long, Long)]): Set[(Long, Long)] = {
+    var act = edges.flatMap { case (a, b) =>
+      if (a == b) Nil else Seq((math.min(a, b), math.max(a, b)))
+    }.distinct.map(e => e -> md5hex(s"${e._1}:${e._2}")).toMap
+    var res = Set.empty[(Long, Long)]
+    while (act.nonEmpty) {
+      val byV = scala.collection.mutable.Map.empty[Long, String]
+      act.foreach { case ((a, b), p) =>
+        for (v <- Seq(a, b)) if (byV.get(v).forall(_ < p)) byV(v) = p
+      }
+      val winners = act.filter { case ((a, b), p) =>
+        byV(a) == p && byV(b) == p
+      }.keySet
+      val used = winners.flatMap(e => Seq(e._1, e._2))
+      res ++= winners
+      act = act.filter { case ((a, b), _) => !used(a) && !used(b) }
+    }
+    res
   }
 
   /** Seeded random simple directed graph. */
