@@ -159,7 +159,10 @@ object OracleSql {
     * under extra rounds.
     */
   private def misRounds(k: Int): String = {
-    val a0 = "a0 AS MATERIALIZED (SELECT id, md5(CAST(id AS VARCHAR)) AS p FROM v)"
+    // 60-bit md5-prefix BIGINT priority — same value as the engine's
+    // GraphOps.md5Prio (Spark conv(substr(md5,1,15),16,10))
+    val a0 = "a0 AS MATERIALIZED (SELECT id, " +
+      "('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))::BIGINT AS p FROM v)"
     val rounds = (1 to k).map { i =>
       s"""w$i AS MATERIALIZED (
          |  SELECT a.id FROM a${i - 1} a LEFT JOIN (
@@ -180,7 +183,8 @@ object OracleSql {
     */
   private def matchRounds(k: Int): String = {
     val m0 = "m0 AS MATERIALIZED (SELECT src, dst, " +
-      "md5(CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR)) AS p FROM cpf)"
+      "('0x' || substr(md5(CAST(src AS VARCHAR) || ':' || " +
+      "CAST(dst AS VARCHAR)), 1, 15))::BIGINT AS p FROM cpf)"
     val rounds = (1 to k).map { i =>
       s"""bv$i AS MATERIALIZED (
          |  SELECT v, max(p) AS mp FROM (
@@ -193,6 +197,31 @@ object OracleSql {
          |  WHERE src NOT IN (SELECT v FROM u$i) AND dst NOT IN (SELECT v FROM u$i))""".stripMargin
     }
     val wins = (1 to k).map(i => s"SELECT src, dst FROM w$i").mkString(" UNION ALL ")
+    ((m0 +: rounds) :+ s"allw AS MATERIALIZED ($wins)").mkString(",\n ")
+  }
+
+  /** Unrolled greedy MAX-WEIGHT matching rounds over a canonical weighted
+    * edge CTE named `cpfw`: priority = weight in the high bits (×2^40),
+    * 40-bit md5 prefix tie-break below — the engine's packed LONG priority
+    * (Matching.weightedPrio) value-for-value.
+    */
+  private def matchWRounds(k: Int): String = {
+    val m0 = "m0 AS MATERIALIZED (SELECT src, dst, weight, " +
+      "weight * 1099511627776 + ('0x' || substr(md5(CAST(src AS VARCHAR) " +
+      "|| ':' || CAST(dst AS VARCHAR)), 1, 10))::BIGINT AS p FROM cpfw)"
+    val rounds = (1 to k).map { i =>
+      s"""bv$i AS MATERIALIZED (
+         |  SELECT v, max(p) AS mp FROM (
+         |    SELECT src AS v, p FROM m${i - 1} UNION ALL SELECT dst, p FROM m${i - 1}) GROUP BY v),
+         | w$i AS MATERIALIZED (
+         |  SELECT m.src, m.dst, m.weight FROM m${i - 1} m JOIN bv$i a ON m.src = a.v JOIN bv$i b ON m.dst = b.v
+         |  WHERE m.p = a.mp AND m.p = b.mp),
+         | u$i AS MATERIALIZED (SELECT src AS v FROM w$i UNION SELECT dst FROM w$i),
+         | m$i AS MATERIALIZED (SELECT src, dst, weight, p FROM m${i - 1}
+         |  WHERE src NOT IN (SELECT v FROM u$i) AND dst NOT IN (SELECT v FROM u$i))""".stripMargin
+    }
+    val wins = (1 to k).map(i => s"SELECT src, dst, weight FROM w$i")
+      .mkString(" UNION ALL ")
     ((m0 +: rounds) :+ s"allw AS MATERIALIZED ($wins)").mkString(",\n ")
   }
 
@@ -535,6 +564,26 @@ object OracleSql {
          |WHERE round(CAST(i.inter AS DOUBLE) / (d1.deg + d2.deg - i.inter), 6) >= 0.3
          |ORDER BY i.v1, i.v2""".stripMargin,
 
+    // the capped variant: wedge CENTERS with degree > 8 are excluded
+    // from pair generation (the deterministic hot-center cap); degrees in
+    // the similarity stay FULL — identical to neighborJaccard(maxDeg=8)
+    "g_jaccard_capped" ->
+      s"""WITH cp AS MATERIALIZED ($CP),
+         | e AS MATERIALIZED (SELECT src, dst FROM (
+         |                    SELECT src, dst FROM cp WHERE weight >= 2
+         |                    UNION SELECT dst, src FROM cp WHERE weight >= 2)
+         |                    WHERE src <> dst),
+         | deg AS MATERIALIZED (SELECT src AS id, count(*) AS deg FROM e GROUP BY 1),
+         | we AS MATERIALIZED (SELECT a.src, a.dst FROM e a JOIN deg d ON a.dst = d.id WHERE d.deg <= 8),
+         | inter AS MATERIALIZED (
+         |  SELECT a.src AS v1, b.src AS v2, count(*) AS inter
+         |  FROM we a JOIN we b ON a.dst = b.dst AND a.src < b.src
+         |  GROUP BY 1, 2)
+         |SELECT i.v1, i.v2, round(CAST(i.inter AS DOUBLE) / (d1.deg + d2.deg - i.inter), 6) AS sim
+         |FROM inter i JOIN deg d1 ON i.v1 = d1.id JOIN deg d2 ON i.v2 = d2.id
+         |WHERE round(CAST(i.inter AS DOUBLE) / (d1.deg + d2.deg - i.inter), 6) >= 0.3
+         |ORDER BY i.v1, i.v2""".stripMargin,
+
     // truncated harmonic centrality: multi-root BFS unrolled 4 levels,
     // scored in exact integer micro-units (round(1e6/d) summed as BIGINT)
     "harmonic8" ->
@@ -563,6 +612,15 @@ object OracleSql {
          | cpf AS (SELECT src, dst FROM cp WHERE weight >= 2),
          | ${matchRounds(12)}
          |SELECT src, dst FROM allw ORDER BY src, dst""".stripMargin,
+
+    // greedy MAX-WEIGHT maximal matching (locally-dominant edges, weight
+    // then md5-prefix priority), over-unrolled (ConvergenceProbe-measured
+    // rounds × 2 margin — fixpoint stable under extra rounds)
+    "matching_w" ->
+      s"""WITH cp AS MATERIALIZED ($CP),
+         | cpfw AS (SELECT src, dst, CAST(weight AS BIGINT) AS weight FROM cp WHERE weight >= 2),
+         | ${matchWRounds(14)}
+         |SELECT src, dst, weight FROM allw ORDER BY src, dst""".stripMargin,
 
     // weighted truncated harmonic centrality (min-plus, integral weights
     // keep the micro-unit scores exact)
@@ -595,6 +653,15 @@ object OracleSql {
          |  FROM mh a JOIN mh b ON a.i = b.i AND a.h = b.h AND a.doc_id < b.doc_id),
          |$JaccTail
          |${jaccSelect("JOIN cand c ON i.doc1 = c.doc1 AND i.doc2 = c.doc2")}""".stripMargin,
+
+    // the drained per-row streaming minhash ≡ the batch md5 signatures
+    "stream_minhash" ->
+      s"""WITH $TOKS,
+         | ${shCte(3)},
+         | mh AS (
+         |  SELECT doc_id, t.i AS i, min(md5(CAST(t.i AS VARCHAR) || ':' || shingle)) AS h
+         |  FROM sh, unnest(generate_series(0, 15)) AS t(i) GROUP BY doc_id, t.i)
+         |SELECT doc_id, CAST(i AS BIGINT) AS i, h FROM mh ORDER BY doc_id, i""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH $TOKS,

@@ -3,6 +3,7 @@ package graft.algos
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.engine.Lineage
 import graft.graph.GraphOps
 
 /** Sampled-source betweenness centrality (Brandes) — the standard
@@ -48,13 +49,13 @@ object Betweenness {
           maxDepth: Int = 30, numPartitions: Int = 32): DataFrame = {
     val e = edges.select("src", "dst")
       .repartition(numPartitions, col("src"))
-      .localCheckpoint(true)
+      .transform(Lineage.cut(_, eager = true))
     val verts = GraphOps.vertices(e)
 
     // --- forward: levels(d) = (root, id, sigma) at distance d ---
     var frontier = sources.select(col("id").as("root"), col("id"),
-      lit(1.0).as("sigma")).localCheckpoint(true)
-    var visited = frontier.select("root", "id").localCheckpoint(true)
+      lit(1.0).as("sigma")).transform(Lineage.cut(_, eager = true))
+    var visited = frontier.select("root", "id").transform(Lineage.cut(_, eager = true))
     var levels = Vector(frontier)
     var depth = 0
     while (depth < maxDepth && !frontier.isEmpty) {
@@ -63,11 +64,11 @@ object Betweenness {
         .select(col("root"), col("dst").as("id"), col("sigma"))
         .groupBy("root", "id").agg(sum(col("sigma")).as("sigma"))
       frontier = msgs.join(visited, Seq("root", "id"), "left_anti")
-        .localCheckpoint(true)
+        .transform(Lineage.cut(_, eager = true))
       if (!frontier.isEmpty) {
         visited = visited.union(frontier.select("root", "id"))
           .repartition(numPartitions, col("root"), col("id"))
-          .localCheckpoint(true)
+          .transform(Lineage.cut(_, eager = true))
         levels :+= frontier
         depth += 1
       }
@@ -75,7 +76,7 @@ object Betweenness {
 
     // --- backward: delta walked from the deepest level to the roots ---
     var lvlDelta = levels.last.withColumn("delta", lit(0.0))
-      .localCheckpoint(true)
+      .transform(Lineage.cut(_, eager = true))
     var deltas = Vector(lvlDelta)
     for (l <- levels.size - 2 to 0 by -1) {
       val wside = lvlDelta.select(col("root"), col("id").as("dst"),
@@ -88,7 +89,7 @@ object Betweenness {
         .join(perPred, Seq("root", "id"), "left_outer")
         .select(col("root"), col("id"), col("sigma"),
           (col("sigma") * coalesce(col("part"), lit(0.0))).as("delta"))
-        .localCheckpoint(true)
+        .transform(Lineage.cut(_, eager = true))
       deltas :+= lvlDelta
     }
 

@@ -3,6 +3,7 @@ package graft.algos
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.engine.Lineage
 import graft.graph.GraphOps
 
 /** Deterministic Jones–Plassmann graph coloring: vertex priorities are the
@@ -31,11 +32,11 @@ object Coloring {
     val e = GraphOps.symmetrize(edges.select("src", "dst"))
       .where(col("src") =!= col("dst"))
       .repartition(numPartitions, col("src"))
-      .localCheckpoint(true)
+      .transform(Lineage.cut(_, eager = true))
     var uncolored = GraphOps.vertices(e)
       .select(col("id"), struct(xxhash64(col("id")), col("id")).as("pri"))
       .repartition(numPartitions, col("id"))
-      .localCheckpoint(true)
+      .transform(Lineage.cut(_, eager = true))
     var colored = spark.range(0).select(col("id"), lit(0).cast("int")
       .as("color")) // empty (id, color)
     var r = 0
@@ -64,9 +65,9 @@ object Coloring {
             .cast("int").as("color"))
       colored = colored.unionByName(newly)
         .repartition(numPartitions, col("id"))
-        .localCheckpoint(true)
+        .transform(Lineage.cut(_, eager = true))
       uncolored = uncolored.join(newly, Seq("id"), "left_anti")
-        .localCheckpoint(true)
+        .transform(Lineage.cut(_, eager = true))
       r += 1
     }
     // A silent partial coloring is worse than a loud failure: JP colors at

@@ -3,6 +3,7 @@ package graft.algos
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.engine.Lineage
 import graft.engine.{Superstep, SuperstepConfig, SuperstepResult, VertexProgram}
 import graft.graph.GraphOps
 
@@ -63,11 +64,11 @@ object ConnectedComponents {
   def stars(spark: SparkSession, edges: DataFrame, numPartitions: Int = 32,
             maxRounds: Int = 200): (DataFrame, Int) = {
     val verts = GraphOps.vertices(edges.select("src", "dst"))
-      .localCheckpoint(true)
+      .transform(Lineage.cut(_, eager = true))
     var e = edges.select("src", "dst").where(col("src") =!= col("dst"))
       .distinct()
       .repartition(numPartitions, col("src"))
-      .localCheckpoint(true)
+      .transform(Lineage.cut(_, eager = true))
 
     def nbrs(ed: DataFrame): DataFrame =
       ed.select(col("src").as("u"), col("dst").as("v"))
@@ -110,7 +111,7 @@ object ConnectedComponents {
     while (rounds < maxRounds && !done) {
       val next = smallStar(largeStar(e))
         .repartition(numPartitions, col("src"))
-        .localCheckpoint(false)
+        .transform(Lineage.cut(_))
       val s2 = sig(next) // materializes the round in one job
       done = s2 == s
       s = s2

@@ -3,6 +3,7 @@ package graft.algos
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.engine.Lineage
 import graft.graph.GraphOps
 
 /** k-core peeling (coverage extension beyond LA3's four apps; the standard
@@ -21,7 +22,7 @@ object KCore {
     * Output: surviving vertices with their in-subgraph degree (id, deg).
     */
   def peel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
-    var e = GraphOps.symmetrize(edges).localCheckpoint(true)
+    var e = GraphOps.symmetrize(edges).transform(Lineage.cut(_, eager = true))
     for (_ <- 1 to rounds) {
       val keep = e.groupBy(col("src").as("id"))
         .agg(count(lit(1)).as("deg"))
@@ -31,7 +32,7 @@ object KCore {
         .join(keep.toDF("src"), Seq("src"), "left_semi")
         .join(keep.toDF("dst"), Seq("dst"), "left_semi")
         .select("src", "dst")
-        .localCheckpoint(true)
+        .transform(Lineage.cut(_, eager = true))
     }
     e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
   }
@@ -44,7 +45,7 @@ object KCore {
     */
   def converged(edges: DataFrame, k: Int,
                 maxRounds: Int = 100): (DataFrame, Int) = {
-    var e = GraphOps.symmetrize(edges).localCheckpoint(true)
+    var e = GraphOps.symmetrize(edges).transform(Lineage.cut(_, eager = true))
     var n = e.count()
     var r = 0
     var done = false
@@ -57,7 +58,7 @@ object KCore {
         .join(keep.toDF("src"), Seq("src"), "left_semi")
         .join(keep.toDF("dst"), Seq("dst"), "left_semi")
         .select("src", "dst")
-        .localCheckpoint(false)
+        .transform(Lineage.cut(_))
       val m = next.count() // materializes + truncates lineage in one job
       done = m == n
       n = m

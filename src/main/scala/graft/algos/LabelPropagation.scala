@@ -3,6 +3,7 @@ package graft.algos
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.engine.Lineage
 import graft.graph.GraphOps
 
 /** Synchronous label propagation (SURVEY.md §2.4 A3, §5.3): label₀ = id;
@@ -102,10 +103,10 @@ object LabelPropagation {
   def run(spark: SparkSession, edges: DataFrame, maxRounds: Int = 50,
           numPartitions: Int = 32, batch: Int = 4): (DataFrame, Int) = {
     val e = edges.select("src", "dst")
-      .repartition(numPartitions, col("src")).localCheckpoint(true)
+      .repartition(numPartitions, col("src")).transform(Lineage.cut(_, eager = true))
     var labels = GraphOps.vertices(e)
       .select(col("id"), col("id").as("label"))
-      .repartition(numPartitions, col("id")).localCheckpoint(true)
+      .repartition(numPartitions, col("id")).transform(Lineage.cut(_, eager = true))
     // One cheap prep count on the checkpointed edges: if every vertex has
     // an in-neighbor (any symmetrized graph), rounds single-reference the
     // labels — the k-round lazy batch is then a linear chain instead of
@@ -123,7 +124,7 @@ object LabelPropagation {
         next = round(e, next, withFlag = i == inner, allIn = allIn)
       // ONE action per batch: the lazy localCheckpoint is materialized by
       // the changed-count aggregate (same shape as the Superstep kernel).
-      val nextM = next.localCheckpoint(false)
+      val nextM = next.transform(Lineage.cut(_))
       val m = nextM.agg(sum(when(col("chg"), 1L).otherwise(0L))).head()
       val changed = if (m.isNullAt(0)) 0L else m.getLong(0)
       labels = nextM.drop("chg")

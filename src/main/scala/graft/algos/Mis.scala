@@ -3,14 +3,17 @@ package graft.algos
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.engine.Lineage
 import graft.graph.GraphOps
 
 /** Maximal independent set — Luby's algorithm with DETERMINISTIC
   * priorities (SURVEY.md §11 queue: the JP-priority machinery, made
-  * oracle-checkable): priority(v) = md5(id as string), a hex string both
-  * engines compare byte-wise identically (the [[Coloring]] xxhash64
-  * priorities have no DuckDB twin — md5 does, the oracle-parity
-  * discipline).
+  * oracle-checkable): priority(v) = the 60-bit md5 prefix of the id as a
+  * BIGINT ([[GraphOps.md5Prio]]) — reproducible in DuckDB byte-for-byte
+  * (the [[Coloring]] xxhash64 priorities have no DuckDB twin — md5 does,
+  * the oracle-parity discipline), and a LONG so the per-round max
+  * aggregate stays on the hash-agg path (the hex-string spelling planned
+  * as SortAggregate — VERDICT r4).
   *
   * Per round, over the still-undecided subgraph: a vertex whose priority
   * strictly beats every undecided neighbor's joins the MIS; its neighbors
@@ -31,18 +34,19 @@ object Mis {
     val e = GraphOps.symmetrize(edges.select("src", "dst"))
       .where(col("src") =!= col("dst"))
       .repartition(numPartitions, col("src"))
-      .localCheckpoint(true)
-    val verts = GraphOps.vertices(e).localCheckpoint(true)
+      .transform(Lineage.cut(_, eager = true))
+    val verts = GraphOps.vertices(e).transform(Lineage.cut(_, eager = true))
     var active = verts
-      .select(col("id"), md5(col("id").cast("string")).as("p"))
-      .localCheckpoint(false)
+      .select(col("id"), GraphOps.md5Prio(col("id").cast("string")).as("p"))
+      .transform(Lineage.cut(_))
     var nActive = active.count()
     var inMis = spark.range(0).select(col("id"))
     var r = 0
     while (nActive > 0 && r < maxRounds) {
-      // strict priority local-max among UNDECIDED neighbors (md5 is
-      // injective on the tested id domains; were two priorities ever
-      // equal, neither vertex would win — identically in both engines)
+      // strict priority local-max among UNDECIDED neighbors (the 60-bit
+      // md5 prefix is collision-free on the tested id domains; were two
+      // priorities ever equal, neither vertex would win — identically in
+      // both engines, which share the prefix)
       val nbrMax = e
         .join(active.select(col("id").as("src"), col("p").as("ps")), "src")
         .groupBy(col("dst").as("id")).agg(max(col("ps")).as("mp"))
@@ -54,10 +58,10 @@ object Mis {
           "left_semi")
         .select(col("dst").as("id")).distinct()
       // one lineage-truncating materialization per round (winners ride it)
-      inMis = inMis.unionByName(winners).localCheckpoint(true)
+      inMis = inMis.unionByName(winners).transform(Lineage.cut(_, eager = true))
       active = active.join(inMis, Seq("id"), "left_anti")
         .join(out, Seq("id"), "left_anti")
-        .localCheckpoint(false)
+        .transform(Lineage.cut(_))
       nActive = active.count()
       r += 1
     }

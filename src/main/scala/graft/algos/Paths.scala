@@ -3,6 +3,7 @@ package graft.algos
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.engine.Lineage
 import graft.engine.{Superstep, SuperstepConfig, SuperstepResult, VertexProgram}
 import graft.graph.GraphOps
 
@@ -71,7 +72,7 @@ object Paths {
       if (weighted) edges.select(col("src"), col("dst"),
         col("weight").cast("double").as("w"))
       else edges.select(col("src"), col("dst"), lit(1.0).as("w"))
-    ).localCheckpoint(true)
+    ).transform(Lineage.cut(_, eager = true))
     val verts = GraphOps.vertices(e.select("src", "dst"))
     val roots = verts.orderBy("id").limit(numRoots)
       .select(col("id").as("root"))
@@ -89,7 +90,7 @@ object Paths {
       dist = dist.join(msgs, Seq("root", "id"), "left_outer")
         .select(col("root"), col("id"),
           least(col("dist"), col("nd")).as("dist"))
-      if (i < k) dist = dist.localCheckpoint(true)
+      if (i < k) dist = dist.transform(Lineage.cut(_, eager = true))
     }
     val scores = dist.where(col("dist") > 0)
       .groupBy("id")
@@ -109,7 +110,7 @@ object Paths {
     * (root, far, diameter_lb).
     */
   def doubleSweepDiameter(edges: DataFrame, k: Int): DataFrame = {
-    val e = edges.select("src", "dst").localCheckpoint(true)
+    val e = edges.select("src", "dst").transform(Lineage.cut(_, eager = true))
     val root = e.agg(min(col("src")))
     val d1 = fixedRounds(e, root, k, weighted = false)
     val far = d1.where(col("dist").isNotNull)
@@ -140,7 +141,7 @@ object Paths {
       if (weighted) edges.select(col("src"), col("dst"),
         col("weight").cast("double"))
       else edges.select(col("src"), col("dst"), lit(1.0).as("weight"))
-    ).localCheckpoint(true)
+    ).transform(Lineage.cut(_, eager = true))
     val verts = GraphOps.vertices(e)
     var dist = verts.crossJoin(broadcast(source.toDF("s0")))
       .select(col("id"),
@@ -153,7 +154,7 @@ object Paths {
         .groupBy("id").agg(min(col("nd")).as("nd"))
       dist = dist.join(msgs, Seq("id"), "left_outer")
         .select(col("id"), least(col("dist"), col("nd")).as("dist"))
-      if (i < k) dist = dist.localCheckpoint(true)
+      if (i < k) dist = dist.transform(Lineage.cut(_, eager = true))
     }
     dist
   }

@@ -1,65 +1,146 @@
 package graft.algos
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.engine.Lineage
 import graft.graph.GraphOps
 
 /** Strongly connected components — the directed companion to
-  * [[ConnectedComponents]] (SURVEY.md §10 round-4 queue item 3; the first
-  * thing a code-graph user asks of a directed import/co-change graph:
-  * cycles and strong modules).
+  * [[ConnectedComponents]] (the first thing a code-graph user asks of a
+  * directed import/co-change graph: cycles and strong modules).
   *
-  * Forward-backward coloring with trimming (the standard distributed SCC
-  * shape; Tarjan's stack is inherently sequential):
+  * Round-5 rewrite (VERDICT r4 "Missing #1"/"Next 1-2"): the r4 FW-BW
+  * coloring propagated one hop per round (O(diameter) sweeps) and resolved
+  * only each color class's root SCC per outer round — an adversarial chain
+  * of SCCs with ids ordered along reachability needed O(#SCCs) outer
+  * rounds. This version is the relational spelling of randomized
+  * reachability-signature decomposition (Blelloch/Gu/Shun/Sun-style
+  * parallel SCC, public algorithm):
   *
-  *  1. '''Trim''' to a fixpoint: a vertex with no in-edges or no out-edges
-  *     inside the active subgraph is a singleton SCC — peeling these
-  *     resolves the acyclic majority of a mostly-DAG graph without ever
-  *     running a fixpoint on it (each peel is one semi-join pass, the
-  *     k-core movement bound).
-  *  2. '''Forward color''' fixpoint: color(v) = min id that reaches v along
-  *     forward edges (HashMin on the directed graph — CC's kernel without
-  *     symmetrization). Roots are vertices with color(v) = v; a root is
-  *     provably the minimum id of its SCC.
-  *  3. '''Backward mark''' fixpoint: starting from the roots, follow edges
-  *     BACKWARD but only within the same color class; every marked vertex
-  *     both reaches and is reached by its root ⇒ scc(v) = color(v). All
-  *     color classes resolve one SCC each, in parallel, per outer round.
-  *  4. Remove the resolved vertices and repeat — newly exposed trivial
-  *     vertices fall to the next trim.
+  *  1. '''Trim''' (capped, optional): a vertex with no in- or no out-edges
+  *     in the remaining block-restricted subgraph is a singleton SCC —
+  *     cheap peeling for the acyclic majority of mostly-DAG graphs.
+  *  2. '''Two min-propagation sweeps with pointer jumping''': fw(v) = the
+  *     min-priority vertex reaching v along forward edges, bw(v) = the
+  *     min-priority vertex v reaches (same sweep on reversed edges).
+  *     Priorities are xxhash64(id) (deterministic random tie-broken by id
+  *     via struct ordering), so pivots are effectively random — ids
+  *     ordered along reachability are no longer adversarial. Each round
+  *     combines one edge hop with one pointer jump (v also adopts the best
+  *     value known at its current witness bi), so the witness chain
+  *     doubles: fixpoint in O(log diameter) rounds, not O(diameter).
+  *  3. '''Resolve''': fw(v) == bw(v) == u means u reaches v and v reaches
+  *     u, so v ∈ SCC(u); conversely SCC members share both signatures
+  *     (mutual-reachability paths never leave an SCC, and SCCs never
+  *     straddle blocks — see the invariant below), so whole SCCs resolve
+  *     atomically. scc label = min member id via one group-agg.
+  *  4. '''Refine''': unresolved vertices keep only edges whose endpoints
+  *     agree on BOTH signatures (fi, wi). A within-block mutual path would
+  *     make any intermediate vertex part of the SCC, so an SCC's members
+  *     always share a block and its internal edges always survive — while
+  *     a chain-of-SCCs block splits at every prefix/suffix priority
+  *     minimum, i.e. MULTI-way per round. Every block resolves at least
+  *     its min-priority vertex's SCC per round, and with random priorities
+  *     the expected outer-round count is O(log n) — maxOuter is a loud
+  *     failure bound, not a working budget.
   *
-  * Every inner round is one co-partitioned join + aggregation over the
-  * SHRINKING active subgraph (frontier-bound movement); rounds are
-  * materialized with the 1-job localCheckpoint(false)+count pattern
-  * (KCore's). Output: (id, scc) with scc = min member id — exact, so the
-  * driver gate is a hard integer compare against DuckDB's closure-based
-  * definition (algorithm-independent: mutual reachability).
+  * Discipline: every inner round is exactly ONE driver action (lazy
+  * localCheckpoint materialized by the change-count aggregate — the
+  * KCore/LabelPropagation pattern; VERDICT r4 "Next 2"), and both sweeps
+  * throw loudly if maxSweepRounds is exhausted (ADVICE r4: the same
+  * IllegalStateException-on-exhaustion bound as Coloring/Mis/Matching;
+  * 48 jump rounds cover diameters beyond 2^40).
+  *
+  * Output: (id, scc) with scc = min member id — exact, so the driver gate
+  * is a hard integer compare against DuckDB's closure-based definition
+  * (algorithm-independent: mutual reachability).
   */
 object Scc {
 
+  private def prio(idCol: Column): Column = xxhash64(idCol)
+
   def run(spark: SparkSession, edges: DataFrame, numPartitions: Int = 32,
           maxOuter: Int = 100, verbose: Boolean = false,
-          batch: Int = 1): DataFrame = {
+          maxTrimRounds: Int = 4, maxSweepRounds: Int = 48): DataFrame =
+    runWithStats(spark, edges, numPartitions, maxOuter, verbose,
+      maxTrimRounds, maxSweepRounds)._1
+
+  /** As [[run]], plus round stats: outer / trim / sweep round counts —
+    * the spec pins sweepRounds ≪ diameter on a deep chain of SCCs.
+    */
+  def runWithStats(spark: SparkSession, edges: DataFrame,
+                   numPartitions: Int = 32, maxOuter: Int = 100,
+                   verbose: Boolean = false, maxTrimRounds: Int = 4,
+                   maxSweepRounds: Int = 48): (DataFrame, Map[String, Int]) = {
+    val n = numPartitions
     var e = edges.select("src", "dst").where(col("src") =!= col("dst"))
       .distinct()
-      .repartition(numPartitions, col("src"))
-      .localCheckpoint(true)
-    var active = GraphOps.vertices(e).localCheckpoint(true)
+      .repartition(n, col("src"))
+      .transform(Lineage.cut(_, eager = true))
+    var active = GraphOps.vertices(e).transform(Lineage.cut(_, eager = true))
     var nActive = active.count()
     var done = spark.range(0).select(col("id"), col("id").as("scc"))
     var outer = 0
+    var trimTotal = 0
+    var sweepTotal = 0
+    var maxSweep = 0
+
+    /** Min-(priority, id) propagation from `fromCol` to `toCol` over the
+      * block-restricted edge set, with pointer jumping; returns (id, bi)
+      * at fixpoint plus the round count. One action per round.
+      */
+    def sweep(dir: String): (DataFrame, Int) = {
+      val (from, to) = if (dir == "fw") ("src", "dst") else ("dst", "src")
+      var cur = active
+        .select(col("id"), prio(col("id")).as("bp"), col("id").as("bi"))
+        .transform(Lineage.cut(_))
+      var r = 0
+      var changed = true
+      while (changed) {
+        if (r >= maxSweepRounds)
+          throw new IllegalStateException(
+            s"SCC $dir sweep did not converge in $maxSweepRounds rounds " +
+              s"(outer=$outer)")
+        r += 1
+        val msgs = e
+          .join(cur.select(col("id").as(from),
+            struct(col("bp").as("p"), col("bi").as("i")).as("mb")), from)
+          .groupBy(col(to).as("id")).agg(min(col("mb")).as("nb"))
+        // pointer jump: adopt the best value known at the current witness
+        // (bi reaches v within the block — or vice versa for bw — so bi's
+        // own best is a valid candidate for v; the witness chain doubles)
+        val jumpT = cur.select(col("id").as("ji"),
+          struct(col("bp").as("p"), col("bi").as("i")).as("jb"))
+        val next = cur
+          .join(msgs, Seq("id"), "left_outer")
+          .join(jumpT, col("bi") === col("ji"), "left_outer")
+          .withColumn("old", struct(col("bp").as("p"), col("bi").as("i")))
+          .withColumn("best", least(col("old"), col("nb"), col("jb")))
+          .select(col("id"), col("best.p").as("bp"), col("best.i").as("bi"),
+            (col("best") =!= col("old")).as("ch"))
+          .transform(Lineage.cut(_))
+        // ONE job: materializes next and reads the change flag off it
+        changed = Option(next.agg(sum(when(col("ch"), 1L).otherwise(0L)))
+          .head().get(0)).exists(_.asInstanceOf[Long] > 0)
+        cur = next.select("id", "bp", "bi")
+        if (verbose) println(s"[scc]   $dir round $r changed=$changed")
+      }
+      (cur.select("id", "bi"), r)
+    }
 
     while (outer < maxOuter && nActive > 0) {
-      var (trimR, colorR, markR) = (0, 0, 0)
-      // --- 1. trim singleton SCCs (no in- or no out-edges) to a fixpoint
+      outer += 1
+      // --- 1. trim singleton SCCs to a CAPPED fixpoint (optimization
+      // only — whatever trimming leaves, the sweeps resolve; ADVICE r4)
       var trimming = true
-      while (trimming && nActive > 0) {
-        trimR += 1
+      var tr = 0
+      while (trimming && tr < maxTrimRounds && nActive > 0) {
+        tr += 1
         val srcs = e.select(col("src").as("id")).distinct()
         val dsts = e.select(col("dst").as("id")).distinct()
         val keep = srcs.join(dsts, Seq("id"), "left_semi")
-          .localCheckpoint(false)
+          .transform(Lineage.cut(_))
         val nKeep = keep.count()
         if (nKeep == nActive) trimming = false
         else {
@@ -67,98 +148,61 @@ object Scc {
             .unionByName(active.join(keep, Seq("id"), "left_anti")
               .select(col("id"), col("id").as("scc")))
           active = keep
-          // lazy: the next round's keep.count (or the color sweep's first
-          // job) materializes the shrunken edge set
+          // lazy: the next trim count (or the sweeps' first job)
+          // materializes the shrunken edge set
           e = e.join(keep.withColumnRenamed("id", "src"), Seq("src"),
               "left_semi")
             .join(keep.withColumnRenamed("id", "dst"), Seq("dst"),
               "left_semi")
             .select("src", "dst")
-            .localCheckpoint(false)
+            .transform(Lineage.cut(_))
           nActive = nKeep
         }
       }
+      trimTotal += tr
       if (nActive > 0) {
-        // Inner fixpoints compose `batch` rounds lazily per materializing
-        // action. Both sweeps are monotone, so "last composed round changed
-        // nothing" ⇒ fixpoint, and up to batch−1 overshoot rounds are
-        // absorbed by it. Default batch=1: MEASURED winner (SccBatchProbe,
-        // interleaved medians — batch3 lost 21.0→23.5 s at sf0.01 and
-        // 5.9→13.0 s at sf0.1; unlike the PR grid loop, every composed
-        // round here is its own shuffle pair, so batching saves only
-        // driver round-trips while paying 2^batch leaf re-scans).
-        // --- 2. forward HashMin color fixpoint on the active subgraph
-        var color = active.select(col("id"), col("id").as("color"))
-          .localCheckpoint(false)
-        var changed = true
-        while (changed) {
-          colorR += 1
-          var cur = color
-          for (b <- 1 to batch) {
-            val msgs = e
-              .join(cur.select(col("id").as("src"), col("color")), "src")
-              .groupBy(col("dst").as("id")).agg(min(col("color")).as("mc"))
-            cur = cur.join(msgs, Seq("id"), "left_outer")
-              .select(col("id"), least(col("color"), col("mc")).as("color"),
-                (col("mc").isNotNull && col("mc") < col("color")).as("ch"))
-            if (b < batch) cur = cur.select("id", "color")
-          }
-          val next = cur.localCheckpoint(false)
-          changed = next.agg(sum(when(col("ch"), 1L).otherwise(0L)))
-            .head().getLong(0) > 0
-          color = next.select("id", "color")
-        }
-        // --- 3. backward mark within color classes, from the roots
-        var state = color.select(col("id"), col("color"),
-          (col("id") === col("color")).as("marked")).localCheckpoint(false)
-        var nMarked = state.where(col("marked")).count()
-        var growing = true
-        while (growing) {
-          markR += 1
-          var cur = state
-          for (_ <- 1 to batch) {
-            val markedDst = cur.where(col("marked"))
-              .select(col("id").as("dst"), col("color").as("wcolor"))
-            // renamed (cid, wcolor) so the cur⋈cands condition can never
-            // self-join-ambiguate (cands derives from cur)
-            val cands = e.join(markedDst, "dst")
-              .select(col("src").as("cid"), col("wcolor")).distinct()
-            cur = cur
-              .join(cands, col("id") === col("cid") &&
-                col("color") === col("wcolor"), "left_outer")
-              .select(col("id"), col("color"),
-                (col("marked") || col("cid").isNotNull).as("marked"))
-          }
-          val next = cur.localCheckpoint(false)
-          val m = next.where(col("marked")).count()
-          growing = m > nMarked
-          nMarked = m
-          state = next
-        }
-        // --- 4. assign and shrink
-        done = done.unionByName(
-          state.where(col("marked")).select(col("id"),
-            col("color").as("scc")))
-        val rest = state.where(!col("marked")).select("id")
-          .localCheckpoint(false)
-        e = e.join(rest.withColumnRenamed("id", "src"), Seq("src"),
-            "left_semi")
-          .join(rest.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+        // --- 2. forward + backward signature sweeps
+        val (fw, rf) = sweep("fw")
+        val (bw, rb) = sweep("bw")
+        sweepTotal += rf + rb
+        maxSweep = math.max(maxSweep, math.max(rf, rb))
+        val joined = fw.withColumnRenamed("bi", "fi")
+          .join(bw.withColumnRenamed("bi", "wi"), Seq("id"))
+          .transform(Lineage.cut(_)) // referenced by resolved AND rest
+        // --- 3. resolve: mutual with the signature vertex (fi == wi
+        // implies fp == wp — same vertex, same priority)
+        val resolved = joined.where(col("fi") === col("wi"))
+          .select("id", "fi")
+        val labels = resolved.groupBy(col("fi"))
+          .agg(min(col("id")).as("scc"))
+        done = done
+          .unionByName(resolved.join(labels, Seq("fi")).select("id", "scc"))
+          .transform(Lineage.cut(_, eager = true)) // truncate result lineage once per outer
+        // --- 4. refine blocks by (fi, wi) and shrink
+        val rest = joined.where(col("fi") =!= col("wi"))
+          .select("id", "fi", "wi")
+          .transform(Lineage.cut(_))
+        val nRest = rest.count()
+        e = e
+          .join(rest.select(col("id").as("src"), col("fi").as("sf"),
+            col("wi").as("sw")), "src")
+          .join(rest.select(col("id").as("dst"), col("fi").as("df"),
+            col("wi").as("dw")), "dst")
+          .where(col("sf") === col("df") && col("sw") === col("dw"))
           .select("src", "dst")
-          .localCheckpoint(false)
-        active = rest
-        nActive = nActive - nMarked
+          .repartition(n, col("src"))
+          .transform(Lineage.cut(_))
+        active = rest.select("id")
+        nActive = nRest
       }
-      // truncate the accumulated result lineage once per outer round
-      done = done.localCheckpoint(true)
-      outer += 1
       if (verbose)
-        println(s"[scc] outer=$outer trimRounds=$trimR colorRounds=$colorR " +
-          s"markRounds=$markR remaining=$nActive")
+        println(s"[scc] outer=$outer trimRounds=$tr " +
+          s"sweepRounds=$sweepTotal remaining=$nActive")
     }
     if (nActive > 0)
       throw new IllegalStateException(
         s"SCC did not resolve $nActive vertices in $maxOuter outer rounds")
-    done
+    (done, Map("outer" -> outer, "trimRounds" -> trimTotal,
+      "sweepRounds" -> sweepTotal, "maxSweep" -> maxSweep))
   }
 }

@@ -3,6 +3,7 @@ package graft.algos
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.engine.Lineage
 import graft.graph.GraphOps
 
 /** Triangle counting (SURVEY.md §2.4 A4, §3.3): orient each undirected edge
@@ -26,7 +27,7 @@ object TriangleCount {
     * order, materialized. Degree = undirected simple-graph degree.
     */
   private def orientedByDegree(edges: DataFrame): DataFrame = {
-    val und = GraphOps.orient(edges).localCheckpoint(true)
+    val und = GraphOps.orient(edges).transform(Lineage.cut(_, eager = true))
     val deg = und.select(col("src").as("id"))
       .union(und.select(col("dst").as("id")))
       .groupBy("id")
@@ -39,7 +40,7 @@ object TriangleCount {
     fwd.select(
         when(srcFirst, col("src")).otherwise(col("dst")).as("src"),
         when(srcFirst, col("dst")).otherwise(col("src")).as("dst"))
-      .localCheckpoint(true)
+      .transform(Lineage.cut(_, eager = true))
   }
 
   /** Global triangle count; single row (triangles: long). */

@@ -3,6 +3,7 @@ package graft.algos
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.engine.Lineage
 import graft.graph.GraphOps
 
 /** k-truss peeling (SURVEY.md §10 round-4 queue item 3): the maximal
@@ -38,7 +39,7 @@ object Truss {
     val o = fwd.select(
         when(srcFirst, col("src")).otherwise(col("dst")).as("src"),
         when(srcFirst, col("dst")).otherwise(col("src")).as("dst"))
-      .localCheckpoint(false)
+      .transform(Lineage.cut(_))
     val e1 = o.select(col("src").as("a"), col("dst").as("b"))
     val e2 = o.select(col("src").as("b"), col("dst").as("c"))
     val wedges = e1.join(e2, "b").select("a", "b", "c")
@@ -62,7 +63,7 @@ object Truss {
   def converged(edges: DataFrame, k: Int,
                 maxRounds: Int = 100): (DataFrame, Int) = {
     require(k >= 3, s"k-truss needs k >= 3 (got $k)")
-    var e = GraphOps.orient(edges).localCheckpoint(true)
+    var e = GraphOps.orient(edges).transform(Lineage.cut(_, eager = true))
     var n = e.count()
     var lastSupp = e.sparkSession.range(0)
       .select(col("id").as("src"), col("id").as("dst"),
@@ -73,9 +74,9 @@ object Truss {
       // supp is lazily checkpointed too: the count below caches it, so the
       // post-loop output read is served from cache instead of re-running
       // the final wedge join
-      val supp = supports(e).localCheckpoint(false)
+      val supp = supports(e).transform(Lineage.cut(_))
       val next = supp.where(col("support") >= k - 2).select("src", "dst")
-        .localCheckpoint(false)
+        .transform(Lineage.cut(_))
       val m = next.count() // materializes supp's round in one job
       lastSupp = supp
       done = m == n

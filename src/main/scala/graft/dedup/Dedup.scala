@@ -229,8 +229,14 @@ object Dedup {
     // maxHamming ≥ 16 admits EVERY pair of 16-bit signatures (hamming is
     // at most 16), and banding cannot guarantee completeness there (a pair
     // differing in all 16 bits shares no band) — so skip banding and emit
-    // all pairs; the Jaccard verification still prunes.
+    // all pairs; the Jaccard verification still prunes. This path is
+    // O(n²) in the corpus — warn loudly so a large maxHamming on a big
+    // corpus is a deliberate choice, not a silent blow-up (ADVICE r4).
     if (maxHamming >= 16) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"simhashPairs: maxHamming=$maxHamming >= 16 disables pigeonhole " +
+          "banding — falling back to ALL n(n-1)/2 candidate pairs " +
+          "(quadratic in corpus size); use maxHamming < 16 at scale")
       val allPairs = s.select(col(idCol).as("doc1"))
         .join(s.select(col(idCol).as("doc2")), col("doc1") < col("doc2"))
       val shAll = TextOps.shingleRows(docs, idCol, textCol, n)

@@ -27,9 +27,9 @@ object BlockedKernel {
     * 5-iteration plan references them k and k+1 times).
     */
   def prFixedExplode(e: DataFrame, k: Int, numBlocks: Int): DataFrame = {
-    val verts = GraphOps.vertices(e).localCheckpoint(true)
+    val verts = GraphOps.vertices(e).transform(Lineage.cut(_, eager = true))
     val blocks = GraphOps.edgeBlocks(e, numBlocks).toDF()
-      .repartition(numBlocks, col("src")).localCheckpoint(true)
+      .repartition(numBlocks, col("src")).transform(Lineage.cut(_, eager = true))
     var rank = verts.select(col("id"), lit(1.0).as("rank"))
     for (_ <- 1 to k) {
       val msgs = blocks.join(rank.withColumnRenamed("id", "src"), "src")
@@ -49,7 +49,7 @@ object BlockedKernel {
   def prFixedCogroup(e: DataFrame, k: Int, numBlocks: Int): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
-    val verts = GraphOps.vertices(e).localCheckpoint(true)
+    val verts = GraphOps.vertices(e).transform(Lineage.cut(_, eager = true))
     val blocks = GraphOps.edgeBlocks(e, numBlocks)
       .repartition(numBlocks, col("src"))
       .cache()

@@ -143,13 +143,13 @@ object Superstep {
     var (startStep, state) = cfg.checkpoint.flatMap { ck =>
       if (resume) ck.latestComplete().map { s =>
         (s + 1, ck.read(spark, s).repartition(n, col("id"))
-          .localCheckpoint(true))
+          .transform(Lineage.cut(_, eager = true)))
       } else None
     }.getOrElse {
       val s0 = vp.initState(graphVertices)
         .withColumn("changed", lit(true))
         .repartition(n, col("id"))
-        .localCheckpoint(true)
+        .transform(Lineage.cut(_, eager = true))
       (0, s0)
     }
     val numVertices = state.count()
@@ -168,24 +168,24 @@ object Superstep {
             if (vp.usesEdgeWeight) col("weight") else lit(1.0)), tau)
           .repartition(n, col("src"), col("salt"))
           .sortWithinPartitions("src", "dst")
-        (salted.localCheckpoint(true), Seq("src", "salt"))
+        (salted.transform(Lineage.cut(_, eager = true)), Seq("src", "salt"))
       } else if (gridMode) {
         val tiled = withW
           .withColumn("srcBlk", blkOf(col("src"), g))
           .withColumn("dstBlk", blkOf(col("dst"), g))
           .repartition(n, col("srcBlk"), col("dstBlk"))
           .sortWithinPartitions("src", "dst")
-        (tiled.localCheckpoint(true), Seq("srcBlk", "dstBlk", "src"))
+        (tiled.transform(Lineage.cut(_, eager = true)), Seq("srcBlk", "dstBlk", "src"))
       } else {
         val plain = withW
           .repartition(n, col("dst"))
           .sortWithinPartitions("dst", "src")
-        (plain.localCheckpoint(true), Seq("src"))
+        (plain.transform(Lineage.cut(_, eager = true)), Seq("src"))
       }
     // src → number of salt groups (1 for non-hubs); tiny unless pathological.
     // Only materialized when hub splitting is on.
     lazy val saltMap = eB.select("src", "nsalts").distinct()
-      .repartition(n, col("src")).localCheckpoint(true)
+      .repartition(n, col("src")).transform(Lineage.cut(_, eager = true))
     val anyHubs = saltMode &&
       saltMap.where(col("nsalts") > 1).limit(1).count() > 0
     // Grid mode: src → the dst-blocks its edges actually touch (LA3 ships
@@ -203,7 +203,7 @@ object Superstep {
     val blkMap =
       if (prunedScatter)
         eB.groupBy("src").agg(collect_set(col("dstBlk")).as("dstBlks"))
-          .repartition(n, col("src")).localCheckpoint(true)
+          .repartition(n, col("src")).transform(Lineage.cut(_, eager = true))
       else null
 
     var metrics = Vector.empty[Map[String, String]]
@@ -310,7 +310,7 @@ object Superstep {
             repartitionTo = Some(n))
           lastDurable = stepAfter - 1
           loaded
-        } else newState.localCheckpoint(false) // lazy: materialized by the
+        } else newState.transform(Lineage.cut(_)) // lazy: materialized by the
       // metrics aggregate below — ONE job per batch computes the pipeline,
       // caches the state blocks, and truncates lineage.
       val resCol = vp.residualExpr.getOrElse(lit(0.0))

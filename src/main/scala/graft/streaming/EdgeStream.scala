@@ -100,6 +100,13 @@ object EdgeStream {
     * rows ≡ the batch out-degree — the keyed-state analog of the
     * complete-mode replays above, and the oracle-checked gate for the
     * mapGroupsWithState path (`stream_degrees`).
+    *
+    * Driver-memory note (ADVICE r4): the update-mode memory sink retains
+    * ONE ROW PER TOUCHED VERTEX PER MICRO-BATCH until the final max()
+    * collapse — ≈ splits × |touched vertices| rows in driver memory.
+    * Bounded and fine for this bench replay (splits = 4); to stream a
+    * LARGE graph, aggregate per batch via foreachBatch (merge each batch's
+    * updates into a keyed store) instead of retaining all update rows.
     */
   def runningDegreesViaStream(edges: DataFrame, splits: Int = 4): DataFrame = {
     import org.apache.spark.sql.types._

@@ -46,6 +46,72 @@ object StreamDedup {
       .selectExpr(idCol, s"stack($bands, $stackArgs) AS (band, bucket)")
   }
 
+  /** Per-row md5 minhash signatures — value-identical to the batch
+    * [[graft.dedup.Dedup.minhashSignatures]] over the same docs (asserted
+    * in StreamDedupSpec), but computed row-local (transform/array_min over
+    * the in-row shingle array): no shuffle, no state, append-mode safe.
+    * Interpreted-HOF cost is acceptable per-row on a stream — never use
+    * this spelling on the batch hot path (measured 40×, BASELINE.md).
+    * Output: (doc_id, i, h) with i cast to LONG for oracle parity.
+    */
+  def signaturesPerRowMd5(docs: DataFrame, n: Int, numHashes: Int,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    val sh: Column = TextOps.shingles(TextOps.tokens(col(textCol)), n)
+    val hCols = (0 until numHashes).map { i =>
+      array_min(transform(col("__sh"), s => md5(concat(lit(s"$i:"), s))))
+        .as(s"h$i")
+    }
+    val stackArgs = (0 until numHashes).map(i => s"$i, h$i").mkString(", ")
+    docs.select(col(idCol), sh.as("__sh"))
+      .where(size(col("__sh")) > 0)
+      .select(col(idCol) +: hCols: _*)
+      .selectExpr(idCol, s"stack($numHashes, $stackArgs) AS (i, h)")
+      .select(col(idCol), col("i").cast("long").as("i"), col("h"))
+  }
+
+  /** Run the per-row minhash as a bounded Structured Streaming job and
+    * return the drained signatures: documents re-written as `splits`
+    * parquet files, streamed back one file per micro-batch, per-row
+    * signatures appended to a memory sink (no aggregation, no watermark —
+    * the stateless streaming shape). After Trigger.AvailableNow drains the
+    * source the sink holds exactly the batch md5 signature table, so the
+    * driver gate pins this path to DuckDB (`stream_minhash`).
+    */
+  def minhashViaStream(docs: DataFrame, n: Int, numHashes: Int,
+                       splits: Int = 4, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mhstream").toString
+    try {
+      docs.select(col(idCol), col(textCol)).repartition(splits)
+        .write.mode("overwrite").parquet(tmp)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(idCol,
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(textCol,
+          org.apache.spark.sql.types.StringType)))
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(tmp)
+      val sigs = signaturesPerRowMd5(stream, n, numHashes, idCol, textCol)
+      val name = s"graft_stream_minhash_${runCounter.incrementAndGet()}"
+      val q = sigs.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val out = spark.table(name).localCheckpoint(true)
+      spark.catalog.dropTempView(name)
+      out
+    } finally {
+      import java.nio.file.{Files => F, Path}
+      val walk = F.walk(Path.of(tmp))
+      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => F.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
   /** Streaming exact dedup: keeps the first doc_id seen per content digest
     * in keyed state and emits (doc_id, keep_id, is_duplicate) per arriving
     * document — the streaming analog of `Dedup.exact`. State is keyed by

@@ -33,6 +33,36 @@ class AnnRecallSpec extends SparkSpec {
     assert(recall >= 0.9, f"recall $recall%.3f below 0.9")
   }
 
+  test("broadcast-plane buckets ≡ independent per-vector computation (dim 8)") {
+    // CI twin of the PlanSizeProbe equivalence check (ADVICE r4): the
+    // broadcast array-of-planes spelling must produce exactly the buckets
+    // the definition gives — w(t,b,i) signs, dot > 0 sets bit b — for
+    // every vector and table. A regression in element_at 1-based indexing
+    // or dotD over non-literal arrays flips buckets here.
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    val (bits, tables, dim) = (4, 3, 8)
+    val vecs = (0L until 20L).map(id =>
+      id -> Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val emb = vecs.toDF("vec_id", "embedding")
+    def w(t: Int, b: Int, i: Int): Double =
+      if ((scala.util.hashing.MurmurHash3.productHash((t, b, i)) & 1) == 0)
+        1.0 else -1.0
+    val want = (for {
+      (id, v) <- vecs; t <- 0 until tables
+    } yield {
+      val bucket = (0 until bits).map { b =>
+        val dot = (0 until dim).map(i => w(t, b, i) * v(i)).sum
+        if (dot > 0) 1L << b else 0L
+      }.sum
+      (id, t, bucket)
+    }).toSet
+    val got = Similarity.lshBucketsMulti(emb, bits, tables, dim)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got === want)
+  }
+
   test("ivfTopK recall ≥ 0.5 vs exact top-5 at sf0.01 (probing half the lists)") {
     assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")

@@ -42,6 +42,32 @@ class SccTrussSpec extends SparkSpec {
     }
   }
 
+  test("scc deep chain of SCCs: rounds ≪ diameter, well under maxOuter") {
+    // 128 two-cycles {2i, 2i+1} chained by one-way bridges 2i+1 → 2i+2 —
+    // the r4-adversarial shape: 256 vertices with ids ordered along
+    // reachability, diameter 255, no trimmable vertex. The old FW-BW
+    // coloring resolved ONE SCC per outer round (min-id pivots made the
+    // whole chain a single color class) and so THREW at maxOuter=100,
+    // with O(diameter) hops per sweep besides. The signature
+    // decomposition must finish with log-bounded sweeps and outers.
+    val k = 128
+    val g = (0 until k).flatMap { i =>
+      val (a, b) = (2L * i, 2L * i + 1)
+      Seq((a, b), (b, a)) ++
+        (if (i < k - 1) Seq((b, 2L * (i + 1))) else Nil)
+    }
+    val verts = (0L until 2L * k)
+    val (df, stats) = Scc.runWithStats(spark, edgesDf(g), numPartitions = 4)
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === verts.map(v => v -> (v - v % 2)).toMap)
+    val diameter = 2 * k - 1 // 255; log2 = 8
+    // each single sweep is pointer-jump log-bounded, NOT O(diameter)
+    assert(stats("maxSweep") <= 24 && stats("maxSweep") < diameter / 8,
+      s"a sweep ran O(diameter) hops: $stats")
+    // multi-way block splits: outer rounds logarithmic, not O(#SCCs)
+    assert(stats("outer") <= 20, s"outer rounds not logarithmic: $stats")
+  }
+
   private def trussMap(pairs: Seq[(Long, Long)],
                        k: Int): Map[(Long, Long), Long] =
     Truss.converged(edgesDf(pairs), k)._1
@@ -165,6 +191,44 @@ class SccTrussSpec extends SparkSpec {
       assert(g.filter(e => e._1 != e._2).forall { case (a, b) =>
         endSet(a) || endSet(b)
       }, s"seed=$seed not maximal")
+    }
+  }
+
+  test("weighted matching ≡ sequential greedy; heavy edges dominate") {
+    for (seed <- Seq(9, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val g = Oracles.randomGraph(seed, 20, 45)
+        .map { case (a, b) => (a, b, (rnd.nextInt(9) + 1).toLong) }
+      val want = Oracles.bruteMatchingW(g)
+      val s = spark
+      import s.implicits._
+      val (df, _) = graft.algos.Matching.runWeighted(spark,
+        g.toDF("src", "dst", "weight"), numPartitions = 4)
+      val got = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === want, s"seed=$seed")
+      // validity + maximality
+      val ends = got.toSeq.flatMap(e => Seq(e._1, e._2))
+      assert(ends.distinct.size === ends.size)
+      val endSet = ends.toSet
+      assert(g.filter(e => e._1 != e._2).forall { case (a, b, _) =>
+        endSet(a) || endSet(b)
+      }, s"seed=$seed not maximal")
+    }
+    // weight dominance: path a-b-c-d with heavy middle edge — greedy takes
+    // the middle edge alone (its endpoints kill both light edges)
+    val s = spark
+    import s.implicits._
+    val path = Seq((0L, 1L, 1L), (1L, 2L, 9L), (2L, 3L, 1L))
+      .toDF("src", "dst", "weight")
+    val (dom, _) = graft.algos.Matching.runWeighted(spark, path,
+      numPartitions = 4)
+    assert(dom.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((1L, 2L)))
+    // oversized weights fail loudly (the priority packing bound)
+    val big = Seq((0L, 1L, 1L << 24)).toDF("src", "dst", "weight")
+    intercept[IllegalArgumentException] {
+      graft.algos.Matching.runWeighted(spark, big, numPartitions = 4)
     }
   }
 

@@ -56,6 +56,22 @@ class StreamDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("per-row md5 signatures == batch wide-agg signatures; replay drains") {
+    val s = spark
+    import s.implicits._
+    val df = docs.toDF("doc_id", "text")
+    def collect(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val batch = Dedup.minhashSignatures(
+        graft.text.TextOps.shingleRows(df, "doc_id", "text", 3), 16)
+      .select($"doc_id", $"i".cast("long"), $"h")
+    val perRow = collect(StreamDedup.signaturesPerRowMd5(df, 3, 16))
+    assert(perRow === collect(batch))
+    // the bounded-replay gate path drains to exactly the same table
+    val streamed = collect(StreamDedup.minhashViaStream(df, 3, 16))
+    assert(streamed === perRow)
+  }
+
   test("firstSeen keeps the first id per digest across micro-batches") {
     val s = spark
     import s.implicits._

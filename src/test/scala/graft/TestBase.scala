@@ -237,11 +237,16 @@ object Oracles {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
 
-  /** Sequential Luby MIS with the engine's md5 priorities (same rounds,
-    * same winners — exact-equality reference for [[graft.algos.Mis]]).
+  /** The engine's 60-bit md5-prefix BIGINT priority (GraphOps.md5Prio). */
+  def md5Prio(s: String): Long =
+    java.lang.Long.parseLong(md5hex(s).substring(0, 15), 16)
+
+  /** Sequential Luby MIS with the engine's md5-prefix priorities (same
+    * rounds, same winners — exact-equality reference for
+    * [[graft.algos.Mis]]).
     */
   def bruteMis(vertices: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
-    val p = vertices.map(v => v -> md5hex(v.toString)).toMap
+    val p = vertices.map(v => v -> md5Prio(v.toString)).toMap
     val und = edges.flatMap { case (a, b) =>
       if (a == b) Nil else Seq((a, b), (b, a))
     }.distinct
@@ -260,17 +265,17 @@ object Oracles {
     vertices.map(v => v -> (if (in(v)) 1L else 0L)).toMap
   }
 
-  /** Sequential greedy maximal matching with the engine's md5 edge
+  /** Sequential greedy maximal matching with the engine's md5-prefix edge
     * priorities (locally-max edges win each round) — exact-equality
     * reference for [[graft.algos.Matching]].
     */
   def bruteMatching(edges: Seq[(Long, Long)]): Set[(Long, Long)] = {
     var act = edges.flatMap { case (a, b) =>
       if (a == b) Nil else Seq((math.min(a, b), math.max(a, b)))
-    }.distinct.map(e => e -> md5hex(s"${e._1}:${e._2}")).toMap
+    }.distinct.map(e => e -> md5Prio(s"${e._1}:${e._2}")).toMap
     var res = Set.empty[(Long, Long)]
     while (act.nonEmpty) {
-      val byV = scala.collection.mutable.Map.empty[Long, String]
+      val byV = scala.collection.mutable.Map.empty[Long, Long]
       act.foreach { case ((a, b), p) =>
         for (v <- Seq(a, b)) if (byV.get(v).forall(_ < p)) byV(v) = p
       }
@@ -280,6 +285,34 @@ object Oracles {
       val used = winners.flatMap(e => Seq(e._1, e._2))
       res ++= winners
       act = act.filter { case ((a, b), _) => !used(a) && !used(b) }
+    }
+    res
+  }
+
+  /** Sequential greedy MAX-WEIGHT matching with the engine's packed
+    * (weight << 40 | md5-prefix) priorities — exact-equality reference for
+    * [[graft.algos.Matching.runWeighted]].
+    */
+  def bruteMatchingW(edges: Seq[(Long, Long, Long)]): Set[(Long, Long, Long)] = {
+    var act = edges.flatMap { case (a, b, w) =>
+      if (a == b) Nil else Seq((math.min(a, b), math.max(a, b)) -> w)
+    }.groupBy(_._1).map { case (e, ws) => e -> ws.map(_._2).max }
+      .map { case ((a, b), w) =>
+        (a, b, w) -> ((w << 40) +
+          java.lang.Long.parseLong(md5hex(s"$a:$b").substring(0, 10), 16))
+      }
+    var res = Set.empty[(Long, Long, Long)]
+    while (act.nonEmpty) {
+      val byV = scala.collection.mutable.Map.empty[Long, Long]
+      act.foreach { case ((a, b, _), p) =>
+        for (v <- Seq(a, b)) if (byV.get(v).forall(_ < p)) byV(v) = p
+      }
+      val winners = act.filter { case ((a, b, _), p) =>
+        byV(a) == p && byV(b) == p
+      }.keySet
+      val used = winners.flatMap(e => Seq(e._1, e._2))
+      res ++= winners
+      act = act.filter { case ((a, b, _), _) => !used(a) && !used(b) }
     }
     res
   }
