@@ -72,7 +72,16 @@ object Scc {
   def runWithStats(spark: SparkSession, edges: DataFrame,
                    numPartitions: Int = 32, maxOuter: Int = 100,
                    verbose: Boolean = false, maxTrimRounds: Int = 4,
-                   maxSweepRounds: Int = 48): (DataFrame, Map[String, Int]) = {
+                   maxSweepRounds: Int = 48): (DataFrame, Map[String, Int]) =
+    Lineage.withLoopConf(spark, numPartitions) {
+      runLoop(spark, edges, numPartitions, maxOuter, verbose,
+        maxTrimRounds, maxSweepRounds)
+    }
+
+  private def runLoop(spark: SparkSession, edges: DataFrame,
+                      numPartitions: Int, maxOuter: Int, verbose: Boolean,
+                      maxTrimRounds: Int,
+                      maxSweepRounds: Int): (DataFrame, Map[String, Int]) = {
     val n = numPartitions
     var e = edges.select("src", "dst").where(col("src") =!= col("dst"))
       .distinct()
@@ -86,47 +95,66 @@ object Scc {
     var sweepTotal = 0
     var maxSweep = 0
 
-    /** Min-(priority, id) propagation from `fromCol` to `toCol` over the
-      * block-restricted edge set, with pointer jumping; returns (id, bi)
-      * at fixpoint plus the round count. One action per round.
+    /** BOTH min-(priority, id) propagations — forward (dir 0: min pivot
+      * reaching v) and backward (dir 1: min pivot v reaches) — fused into
+      * ONE direction-tagged loop with pointer jumping: the two sweeps are
+      * independent, so running them as a tag-union costs max(fw, bw)
+      * rounds instead of fw + bw (measured round-count halving at sf0.01,
+      * where the per-round serial floor, not data volume, is the cost).
+      * Returns (id, fi, wi) at fixpoint plus the round count. One driver
+      * action per round.
       */
-    def sweep(dir: String): (DataFrame, Int) = {
-      val (from, to) = if (dir == "fw") ("src", "dst") else ("dst", "src")
+    def dualSweep(): (DataFrame, Int) = {
+      val e2 = e.select(col("src"), col("dst"), lit(0).as("dir"))
+        .unionByName(e.select(col("dst").as("src"), col("src").as("dst"),
+          lit(1).as("dir")))
+        .repartition(n, col("src"))
+        .transform(Lineage.cut(_))
       var cur = active
-        .select(col("id"), prio(col("id")).as("bp"), col("id").as("bi"))
+        .select(col("id"), explode(array(lit(0), lit(1))).as("dir"),
+          prio(col("id")).as("bp"), col("id").as("bi"))
         .transform(Lineage.cut(_))
       var r = 0
       var changed = true
       while (changed) {
         if (r >= maxSweepRounds)
           throw new IllegalStateException(
-            s"SCC $dir sweep did not converge in $maxSweepRounds rounds " +
+            s"SCC sweep did not converge in $maxSweepRounds rounds " +
               s"(outer=$outer)")
         r += 1
-        val msgs = e
-          .join(cur.select(col("id").as(from),
-            struct(col("bp").as("p"), col("bi").as("i")).as("mb")), from)
-          .groupBy(col(to).as("id")).agg(min(col("mb")).as("nb"))
+        val msgs = e2
+          .join(cur.select(col("id").as("src"), col("dir"),
+            struct(col("bp").as("p"), col("bi").as("i")).as("mb")),
+            Seq("src", "dir"))
+          .groupBy(col("dst").as("id"), col("dir"))
+          .agg(min(col("mb")).as("nb"))
         // pointer jump: adopt the best value known at the current witness
-        // (bi reaches v within the block — or vice versa for bw — so bi's
-        // own best is a valid candidate for v; the witness chain doubles)
-        val jumpT = cur.select(col("id").as("ji"),
+        // (bi reaches v within the block — or vice versa for dir 1 — so
+        // bi's own best is a valid candidate for v; the witness chain
+        // doubles, hence O(log diameter) rounds)
+        val jumpT = cur.select(col("id").as("ji"), col("dir").as("jdir"),
           struct(col("bp").as("p"), col("bi").as("i")).as("jb"))
         val next = cur
-          .join(msgs, Seq("id"), "left_outer")
-          .join(jumpT, col("bi") === col("ji"), "left_outer")
+          .join(msgs, Seq("id", "dir"), "left_outer")
+          .join(jumpT, col("bi") === col("ji") && col("dir") === col("jdir"),
+            "left_outer")
           .withColumn("old", struct(col("bp").as("p"), col("bi").as("i")))
           .withColumn("best", least(col("old"), col("nb"), col("jb")))
-          .select(col("id"), col("best.p").as("bp"), col("best.i").as("bi"),
+          .select(col("id"), col("dir"),
+            col("best.p").as("bp"), col("best.i").as("bi"),
             (col("best") =!= col("old")).as("ch"))
           .transform(Lineage.cut(_))
         // ONE job: materializes next and reads the change flag off it
         changed = Option(next.agg(sum(when(col("ch"), 1L).otherwise(0L)))
           .head().get(0)).exists(_.asInstanceOf[Long] > 0)
-        cur = next.select("id", "bp", "bi")
-        if (verbose) println(s"[scc]   $dir round $r changed=$changed")
+        cur = next.select("id", "dir", "bp", "bi")
+        if (verbose) println(s"[scc]   sweep round $r changed=$changed")
       }
-      (cur.select("id", "bi"), r)
+      val out = cur.where(col("dir") === 0).select(col("id"),
+          col("bi").as("fi"))
+        .join(cur.where(col("dir") === 1).select(col("id"),
+          col("bi").as("wi")), Seq("id"))
+      (out, r)
     }
 
     while (outer < maxOuter && nActive > 0) {
@@ -161,13 +189,11 @@ object Scc {
       }
       trimTotal += tr
       if (nActive > 0) {
-        // --- 2. forward + backward signature sweeps
-        val (fw, rf) = sweep("fw")
-        val (bw, rb) = sweep("bw")
-        sweepTotal += rf + rb
-        maxSweep = math.max(maxSweep, math.max(rf, rb))
-        val joined = fw.withColumnRenamed("bi", "fi")
-          .join(bw.withColumnRenamed("bi", "wi"), Seq("id"))
+        // --- 2. fused forward + backward signature sweeps
+        val (fwbw, r) = dualSweep()
+        sweepTotal += r
+        maxSweep = math.max(maxSweep, r)
+        val joined = fwbw
           .transform(Lineage.cut(_)) // referenced by resolved AND rest
         // --- 3. resolve: mutual with the signature vertex (fi == wi
         // implies fp == wp — same vertex, same priority)

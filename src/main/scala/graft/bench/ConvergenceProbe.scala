@@ -56,6 +56,10 @@ object ConvergenceProbe {
         cp.where(col("weight") >= 2).select("src", "dst"),
         numPartitions = cpus)
       println(s"PROBE $dir matching_rounds=$mR matching_size=${mDf.count()}")
+      val (mwDf, mwR) = graft.algos.Matching.runWeighted(spark,
+        cp.where(col("weight") >= 2).select("src", "dst", "weight"),
+        numPartitions = cpus)
+      println(s"PROBE $dir matching_w_rounds=$mwR matching_w_size=${mwDf.count()}")
       println(s"PROBE $dir sssp_supersteps=${r.supersteps} " +
         s"sssp_converged=${r.converged} kcore_rounds=$kr kcore_rows=$kRows " +
         s"truss_rounds=$trr truss_rows=$tRows " +

@@ -33,10 +33,12 @@ object SccRoundsProbe {
       .unionByName(cp.where(col("weight") >= 3)
         .select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
+    val trimCap = args.lift(2).map(_.toInt).getOrElse(4)
     def time(): (Double, Long, Map[String, Int]) = {
       val j0 = jobs.get()
       val t0 = System.nanoTime()
-      val (df, stats) = Scc.runWithStats(spark, dg, numPartitions = cpus)
+      val (df, stats) = Scc.runWithStats(spark, dg, numPartitions = cpus,
+        maxTrimRounds = trimCap)
       df.count()
       ((System.nanoTime() - t0) / 1e9, jobs.get() - j0, stats)
     }
