@@ -467,6 +467,24 @@ object OracleSql {
          |FROM (SELECT unnest([a, b, c]) AS id FROM tri)
          |GROUP BY id ORDER BY id""".stripMargin,
 
+    // local clustering coefficient in integer micro-units: DuckDB's `//`
+    // floors like Spark's `div` truncates (non-negative operands), so the
+    // score column stays BIGINT-exact in both engines
+    "lcc" ->
+      s"""WITH cp AS ($CP), e AS (SELECT src AS a, dst AS b FROM cp),
+         | d AS (SELECT id, CAST(count(*) AS BIGINT) AS deg
+         |   FROM (SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+         | tri AS (
+         |  SELECT e1.a, e1.b, e2.b AS c
+         |  FROM e e1 JOIN e e2 ON e1.b = e2.a JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         | t AS (SELECT id, CAST(count(*) AS BIGINT) AS tri_cnt
+         |   FROM (SELECT unnest([a, b, c]) AS id FROM tri) GROUP BY 1)
+         |SELECT d.id, CAST(coalesce(t.tri_cnt, 0) AS BIGINT) AS tri_cnt, d.deg,
+         |  CAST(CASE WHEN d.deg >= 2
+         |    THEN (2000000 * coalesce(t.tri_cnt, 0)) // (d.deg * (d.deg - 1))
+         |    ELSE 0 END AS BIGINT) AS lcc_micro
+         |FROM d LEFT JOIN t ON d.id = t.id ORDER BY d.id""".stripMargin,
+
     "bfs5" ->
       s"WITH $UND,\n ${relaxRounds(5, weighted = false)}\nSELECT id, dist FROM d5 WHERE dist IS NOT NULL ORDER BY id",
 

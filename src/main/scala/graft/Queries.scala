@@ -242,6 +242,13 @@ object Queries {
     "tc_pervertex" -> ((s, dir) =>
       TriangleCount.perVertex(TestGraphs.copurchase(s, dir)).orderBy("id")),
 
+    // Local clustering coefficient in exact integer micro-units
+    // (floor(2e6·tri/deg·(deg−1)), 0 when deg<2) — Spark `div` ≡ DuckDB
+    // `//` on non-negative BIGINTs, so the twin is float-free.
+    "lcc" -> ((s, dir) =>
+      TriangleCount.localClustering(TestGraphs.copurchase(s, dir))
+        .orderBy("id")),
+
     // --- BFS / SSSP (A5): 5 unrolled min-plus rounds ----------------------
     "bfs5" -> ((s, dir) => {
       // materialized once: rounds and the source agg reuse cached blocks

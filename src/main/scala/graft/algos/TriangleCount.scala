@@ -68,4 +68,39 @@ object TriangleCount {
       .groupBy("id")
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("tri_cnt"))
   }
+
+  /** Per-vertex local clustering coefficient, scored in exact integer
+    * micro-units so the oracle twin is byte-identical across engines:
+    * `lcc_micro = floor(2e6 · tri(v) / (deg(v)·(deg(v)−1)))`, 0 when
+    * deg < 2. Output (id, tri_cnt, deg, lcc_micro), one row per vertex of
+    * the simple undirected graph. Integer `div` truncation on non-negative
+    * operands ≡ DuckDB's `//` floor division, so no float ever crosses the
+    * comparison boundary (the harmonic-centrality micro-unit recipe).
+    *
+    * Scale: one extra groupBy over the oriented edge endpoints beyond the
+    * [[perVertex]] plan — degree and triangle aggregates both shuffle on
+    * vertex id, and the final assembly is a same-key left join.
+    */
+  def localClustering(edges: DataFrame): DataFrame = {
+    val e = orientedByDegree(edges)
+    val deg = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .groupBy("id")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("deg"))
+    val e1 = e.select(col("src").as("a"), col("dst").as("b"))
+    val e2 = e.select(col("src").as("b"), col("dst").as("c"))
+    val wedges = e1.join(e2, "b").select("a", "b", "c")
+    val closing = e.select(col("src").as("a"), col("dst").as("c"))
+    val tris = wedges.join(closing, Seq("a", "c"), "left_semi")
+    val tri = tris.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy("id")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("tri_cnt"))
+    deg.join(tri, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("tri_cnt"), lit(0L)).as("tri_cnt"),
+        col("deg"),
+        when(col("deg") >= 2,
+          expr("(2000000 * coalesce(tri_cnt, 0)) div (deg * (deg - 1))"))
+          .otherwise(lit(0L)).as("lcc_micro"))
+  }
 }

@@ -234,6 +234,26 @@ class AlgosSpec extends SparkSpec {
       5L -> 1L))
   }
 
+  test("local clustering coefficient vs brute adjacency-set count") {
+    for (g <- Seq(twoTri, cyc, Oracles.randomGraph(11, 25, 80),
+        Oracles.randomGraph(13, 15, 60))) {
+      // simple undirected adjacency (dedup + drop self-loops, both dirs)
+      val adj = g.filter(e => e._1 != e._2)
+        .flatMap(e => Seq(e, e.swap)).distinct
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val exp = adj.map { case (v, ns) =>
+        val d = ns.size.toLong
+        val tri = ns.toSeq.combinations(2)
+          .count { case Seq(a, b) => adj(a).contains(b) }.toLong
+        v -> (tri, d, if (d >= 2) 2000000L * tri / (d * (d - 1)) else 0L)
+      }
+      val rows = TriangleCount.localClustering(edgesDf(g)).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3)))).toMap
+      assert(rows === exp, s"graph $g")
+    }
+  }
+
   test("personalized PR with S = V degenerates to standard fixed-k PR") {
     val all = PageRank.personalizedFixedIterations(edgesDf(cyc),
       _ => org.apache.spark.sql.functions.lit(true), 5)
