@@ -70,19 +70,39 @@ object StreamDedup {
       .select(col(idCol), col("i").cast("long").as("i"), col("h"))
   }
 
-  /** Run the per-row minhash as a bounded Structured Streaming job and
-    * return the drained signatures: documents re-written as `splits`
-    * parquet files, streamed back one file per micro-batch, per-row
-    * signatures appended to a memory sink (no aggregation, no watermark —
-    * the stateless streaming shape). After Trigger.AvailableNow drains the
-    * source the sink holds exactly the batch md5 signature table, so the
-    * driver gate pins this path to DuckDB (`stream_minhash`).
+  /** Run minhash as a bounded Structured Streaming job and return the
+    * drained signatures: documents re-written as `splits` parquet files,
+    * streamed back one file per micro-batch, signatures computed PER
+    * MICRO-BATCH with the codegen'd batch wide-agg
+    * ([[graft.dedup.Dedup.minhashSignatures]]) inside `foreachBatch` and
+    * appended to a parquet sink. Each document arrives whole in one row,
+    * so the per-batch aggregation is exact and NO cross-batch state
+    * exists. After Trigger.AvailableNow drains the source the sink holds
+    * exactly the batch md5 signature table, so the driver gate pins this
+    * path to DuckDB (`stream_minhash`).
+    *
+    * Why not the row-local [[signaturesPerRowMd5]] inside the stream?
+    * Measured (StreamMinhashProbe, sf0.1, 5000 docs, 3 reps): the 16
+    * interpreted-HOF md5 passes cost ~25 s whether run as a batch or in
+    * the stream, while this spelling's per-batch shuffle + codegen'd agg
+    * runs the same replay in ~5–9 s — the streaming machinery itself is
+    * ~2 s. The per-row spelling remains the right tool only when a
+    * pipeline genuinely cannot shuffle (e.g. joining arriving rows against
+    * batch bucket tables in strict append mode).
     */
   def minhashViaStream(docs: DataFrame, n: Int, numHashes: Int,
                        splits: Int = 4, idCol: String = "doc_id",
                        textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
-    val tmp = java.nio.file.Files.createTempDirectory("graft-mhstream").toString
+    import java.nio.file.{Files => F, Path}
+    val tmp = F.createTempDirectory("graft-mhstream").toString
+    val outDir = F.createTempDirectory("graft-mhstream-out").toString
+    def rmTree(dir: String): Unit = {
+      val walk = F.walk(Path.of(dir))
+      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => F.deleteIfExists(p))
+      finally walk.close()
+    }
     try {
       docs.select(col(idCol), col(textCol)).repartition(splits)
         .write.mode("overwrite").parquet(tmp)
@@ -93,22 +113,22 @@ object StreamDedup {
           org.apache.spark.sql.types.StringType)))
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(tmp)
-      val sigs = signaturesPerRowMd5(stream, n, numHashes, idCol, textCol)
-      val name = s"graft_stream_minhash_${runCounter.incrementAndGet()}"
-      val q = sigs.writeStream.format("memory").queryName(name)
-        .outputMode("append")
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.dedup.Dedup.minhashSignatures(
+              TextOps.shingleRows(batch, idCol, textCol, n), numHashes,
+              idCol)
+            .select(col(idCol), col("i").cast("long").as("i"), col("h"))
+            .write.mode("append").parquet(outDir)
+          ()
+        }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      val out = spark.table(name).localCheckpoint(true)
-      spark.catalog.dropTempView(name)
-      out
+      spark.read.parquet(outDir).localCheckpoint(true)
     } finally {
-      import java.nio.file.{Files => F, Path}
-      val walk = F.walk(Path.of(tmp))
-      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(p => F.deleteIfExists(p))
-      finally walk.close()
+      rmTree(tmp)
+      rmTree(outDir)
     }
   }
 
