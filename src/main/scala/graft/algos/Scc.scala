@@ -62,26 +62,44 @@ object Scc {
 
   def run(spark: SparkSession, edges: DataFrame, numPartitions: Int = 32,
           maxOuter: Int = 100, verbose: Boolean = false,
-          maxTrimRounds: Int = 4, maxSweepRounds: Int = 48): DataFrame =
+          maxTrimRounds: Int = 4, maxSweepRounds: Int = 48,
+          trimContinueFrac: Double = 1.0,
+          trimHardCap: Int = 64): DataFrame =
     runWithStats(spark, edges, numPartitions, maxOuter, verbose,
-      maxTrimRounds, maxSweepRounds)._1
+      maxTrimRounds, maxSweepRounds, trimContinueFrac, trimHardCap)._1
 
   /** As [[run]], plus round stats: outer / trim / sweep round counts —
     * the spec pins sweepRounds ≪ diameter on a deep chain of SCCs.
+    *
+    * Trim adaptivity (round-6 queue item, MEASURED NEGATIVE — default
+    * off): the first `maxTrimRounds` trim rounds per outer always run;
+    * beyond that the loop continues only while each round keeps removing
+    * ≥ `trimContinueFrac` of the remaining vertices (1.0 = never, the
+    * default), bounded by `trimHardCap`. A/B at sf0.01 (SccRoundsProbe,
+    * frac 0.05/0.01 vs off): sweep rounds 29 and outers 3 are IDENTICAL
+    * in every leg — the post-budget trim tail removes <5% per round, so
+    * the heuristic only adds 2–3 rounds and ~2 jobs for nothing; the
+    * sparse-graph constant lives in the sweeps, not the trim depth
+    * (BASELINE.md r5). The knob stays for graphs whose peel tail is
+    * genuinely fat. Trim is an optimization either way: whatever it
+    * leaves, the sweeps resolve.
     */
   def runWithStats(spark: SparkSession, edges: DataFrame,
                    numPartitions: Int = 32, maxOuter: Int = 100,
                    verbose: Boolean = false, maxTrimRounds: Int = 4,
-                   maxSweepRounds: Int = 48): (DataFrame, Map[String, Int]) =
+                   maxSweepRounds: Int = 48,
+                   trimContinueFrac: Double = 0.05,
+                   trimHardCap: Int = 64): (DataFrame, Map[String, Int]) =
     Lineage.withLoopConf(spark, numPartitions) {
       runLoop(spark, edges, numPartitions, maxOuter, verbose,
-        maxTrimRounds, maxSweepRounds)
+        maxTrimRounds, maxSweepRounds, trimContinueFrac, trimHardCap)
     }
 
   private def runLoop(spark: SparkSession, edges: DataFrame,
                       numPartitions: Int, maxOuter: Int, verbose: Boolean,
-                      maxTrimRounds: Int,
-                      maxSweepRounds: Int): (DataFrame, Map[String, Int]) = {
+                      maxTrimRounds: Int, maxSweepRounds: Int,
+                      trimContinueFrac: Double,
+                      trimHardCap: Int): (DataFrame, Map[String, Int]) = {
     val n = numPartitions
     var e = edges.select("src", "dst").where(col("src") =!= col("dst"))
       .distinct()
@@ -163,13 +181,18 @@ object Scc {
       // only — whatever trimming leaves, the sweeps resolve; ADVICE r4)
       var trimming = true
       var tr = 0
-      while (trimming && tr < maxTrimRounds && nActive > 0) {
+      while (trimming && tr < trimHardCap && nActive > 0) {
         tr += 1
         val srcs = e.select(col("src").as("id")).distinct()
         val dsts = e.select(col("dst").as("id")).distinct()
         val keep = srcs.join(dsts, Seq("id"), "left_semi")
           .transform(Lineage.cut(_))
         val nKeep = keep.count()
+        // adaptive continuation: beyond the guaranteed budget, keep
+        // peeling only while the round removed a useful fraction
+        if (tr >= maxTrimRounds &&
+            (nActive - nKeep).toDouble < trimContinueFrac * nActive)
+          trimming = false
         if (nKeep == nActive) trimming = false
         else {
           done = done

@@ -34,11 +34,12 @@ object SccRoundsProbe {
         .select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
     val trimCap = args.lift(2).map(_.toInt).getOrElse(4)
+    val trimFrac = args.lift(3).map(_.toDouble).getOrElse(1.0)
     def time(): (Double, Long, Map[String, Int]) = {
       val j0 = jobs.get()
       val t0 = System.nanoTime()
       val (df, stats) = Scc.runWithStats(spark, dg, numPartitions = cpus,
-        maxTrimRounds = trimCap)
+        maxTrimRounds = trimCap, trimContinueFrac = trimFrac)
       df.count()
       ((System.nanoTime() - t0) / 1e9, jobs.get() - j0, stats)
     }
