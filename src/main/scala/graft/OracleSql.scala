@@ -225,6 +225,41 @@ object OracleSql {
     ((m0 +: rounds) :+ s"allw AS MATERIALIZED ($wins)").mkString(",\n ")
   }
 
+  /** Unrolled greedy b-MATCHING rounds over the canonical `cpf` edge CTE
+    * ([[graft.algos.Matching.runB]]'s b-suitor-style rule, value-for-value
+    * 60-bit md5-prefix priorities): an edge is accepted when its priority
+    * RANK among the still-active edges is within the remaining capacity
+    * at BOTH endpoints; accepted edges decrement capacity, saturated
+    * vertices drop their edges. Fixpoint stable under extra rounds.
+    */
+  private def matchBRounds(k: Int, b: Int): String = {
+    val m0 = "m0 AS MATERIALIZED (SELECT src, dst, " +
+      "('0x' || substr(md5(CAST(src AS VARCHAR) || ':' || " +
+      "CAST(dst AS VARCHAR)), 1, 15))::BIGINT AS p FROM cpf)"
+    val c0 = s"c0 AS MATERIALIZED (SELECT v, $b AS cap FROM " +
+      "(SELECT src AS v FROM m0 UNION SELECT dst FROM m0))"
+    val rounds = (1 to k).map { i =>
+      s"""rk$i AS (
+         |  SELECT v, src, dst, row_number() OVER (PARTITION BY v ORDER BY p DESC) AS rk FROM (
+         |    SELECT src AS v, src, dst, p FROM m${i - 1} UNION ALL SELECT dst, src, dst, p FROM m${i - 1})),
+         | w$i AS MATERIALIZED (
+         |  SELECT r.src, r.dst FROM rk$i r JOIN c${i - 1} c ON r.v = c.v
+         |  WHERE r.rk <= c.cap GROUP BY r.src, r.dst HAVING count(*) = 2),
+         | u$i AS (SELECT v, count(*) AS used FROM (
+         |    SELECT src AS v FROM w$i UNION ALL SELECT dst FROM w$i) GROUP BY v),
+         | c$i AS MATERIALIZED (
+         |  SELECT c.v, c.cap - coalesce(u.used, 0) AS cap FROM c${i - 1} c
+         |  LEFT JOIN u$i u ON c.v = u.v WHERE c.cap - coalesce(u.used, 0) > 0),
+         | m$i AS MATERIALIZED (
+         |  SELECT m.src, m.dst, m.p FROM m${i - 1} m
+         |  WHERE NOT EXISTS (SELECT 1 FROM w$i w WHERE w.src = m.src AND w.dst = m.dst)
+         |    AND m.src IN (SELECT v FROM c$i) AND m.dst IN (SELECT v FROM c$i))""".stripMargin
+    }
+    val wins = (1 to k).map(i => s"SELECT src, dst FROM w$i")
+      .mkString(" UNION ALL ")
+    ((m0 +: c0 +: rounds) :+ s"allw AS MATERIALIZED ($wins)").mkString(",\n ")
+  }
+
   /** Personalized-PR rounds: teleport only to S (predicate on id). */
   private def pprRounds(k: Int, pred: String => String): String = {
     val rounds = (1 to k).map { i =>
@@ -629,6 +664,14 @@ object OracleSql {
       s"""WITH cp AS MATERIALIZED ($CP),
          | cpf AS (SELECT src, dst FROM cp WHERE weight >= 2),
          | ${matchRounds(12)}
+         |SELECT src, dst FROM allw ORDER BY src, dst""".stripMargin,
+
+    // greedy b-matching, capacity 2 per vertex, over-unrolled
+    // (ConvergenceProbe: 5 rounds at sf0.01, 2 at sf0.1 — 10 = 2x margin)
+    "matching_b2" ->
+      s"""WITH cp AS MATERIALIZED ($CP),
+         | cpf AS (SELECT src, dst FROM cp WHERE weight >= 2),
+         | ${matchBRounds(10, 2)}
          |SELECT src, dst FROM allw ORDER BY src, dst""".stripMargin,
 
     // greedy MAX-WEIGHT maximal matching (locally-dominant edges, weight

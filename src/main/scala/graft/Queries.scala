@@ -445,6 +445,15 @@ object Queries {
         s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
         ._1.orderBy("src", "dst")),
 
+    // --- greedy b-matching (each vertex accepts up to b = 2 edges — the
+    // b-suitor rank-within-capacity rule): converged run, oracle
+    // over-unrolled (ConvergenceProbe: 5 rounds at sf0.01, 2 at sf0.1)
+    "matching_b2" -> ((s, dir) =>
+      graft.algos.Matching.runB(s, TestGraphs.copurchase(s, dir)
+        .where(col("weight") >= 2).select("src", "dst"), 2,
+        s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+        ._1.orderBy("src", "dst")),
+
     // --- greedy max-weight maximal matching (locally-dominant edges —
     // Preis/Hoepman 1/2-approx): weight-first packed priority, md5-prefix
     // tie-break; converged run, oracle over-unrolled

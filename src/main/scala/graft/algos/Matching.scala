@@ -74,6 +74,83 @@ object Matching {
     greedyLoop(spark, init, numPartitions, maxRounds)
   }
 
+  /** Greedy maximal b-MATCHING (each vertex matches up to `b` edges; b = 1
+    * degenerates to [[run]]): the b-suitor-style locally-dominant rule,
+    * relationally — an edge is accepted when its priority RANK among the
+    * still-active edges at BOTH endpoints is within each endpoint's
+    * remaining capacity. With distinct priorities this computes EXACTLY
+    * the sequential greedy b-matching (induction: a rank-r ≤ cap edge
+    * survives even if every higher-ranked active edge is accepted, and a
+    * vertex saturates only with b sequentially-accepted edges), and every
+    * round accepts at least the globally max-priority active edge, so the
+    * loop drains in expected O(log m) rounds.
+    *
+    * Per round: one key-partitioned window rank over the doubled
+    * per-endpoint view (a vertex's incident edges sit in both the src and
+    * dst columns — no global window), a capacity join, a both-endpoints
+    * pass count, and a capacity decrement aggregate. Returns the
+    * canonical (src < dst) accepted edges plus the round count.
+    */
+  def runB(spark: SparkSession, edges: DataFrame, b: Int,
+           numPartitions: Int = 32,
+           maxRounds: Int = 100): (DataFrame, Int) = {
+    require(b >= 1, s"b-matching needs b >= 1, got $b")
+    import org.apache.spark.sql.expressions.Window
+    var active = GraphOps.orient(edges)
+      .select(col("src"), col("dst"),
+        GraphOps.md5Prio(concat_ws(":", col("src"), col("dst"))).as("p"))
+      .repartition(numPartitions, col("src"))
+      .transform(Lineage.cut(_, eager = true))
+    var nActive = active.count()
+    var caps = GraphOps.vertices(active)
+      .select(col("id").as("v"), lit(b.toLong).as("cap"))
+      .transform(Lineage.cut(_, eager = true))
+    var matched = spark.range(0)
+      .select(col("id").as("src"), col("id").as("dst"))
+    var r = 0
+    while (nActive > 0 && r < maxRounds) {
+      r += 1
+      // rank every edge at EACH endpoint (a vertex's incident edges sit in
+      // both the src and dst columns, so rank over the doubled view — one
+      // key-partitioned window, no global window)
+      val byV = active.select(col("src").as("v"), col("src"), col("dst"),
+          col("p"))
+        .union(active.select(col("dst").as("v"), col("src"), col("dst"),
+          col("p")))
+      val winners = byV
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("v").orderBy(col("p").desc)))
+        .join(caps, Seq("v"))
+        .where(col("rk") <= col("cap"))
+        .groupBy("src", "dst")
+        .agg(count(lit(1)).as("okc"))
+        .where(col("okc") === 2)
+        .select("src", "dst")
+        .transform(Lineage.cut(_, eager = true))
+      matched = matched.unionByName(winners)
+        .transform(Lineage.cut(_, eager = true))
+      val used = winners.select(col("src").as("v"))
+        .union(winners.select(col("dst").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("used"))
+      caps = caps.join(used, Seq("v"), "left_outer")
+        .select(col("v"),
+          (col("cap") - coalesce(col("used"), lit(0L))).as("cap"))
+        .where(col("cap") > 0)
+        .transform(Lineage.cut(_, eager = true))
+      // drop accepted edges and any edge touching a saturated vertex
+      active = active
+        .join(winners, Seq("src", "dst"), "left_anti")
+        .join(caps.select(col("v").as("src")), Seq("src"), "left_semi")
+        .join(caps.select(col("v").as("dst")), Seq("dst"), "left_semi")
+        .transform(Lineage.cut(_))
+      nActive = active.count()
+    }
+    if (nActive > 0)
+      throw new IllegalStateException(
+        s"b-matching did not drain $nActive edges in $maxRounds rounds")
+    (matched, r)
+  }
+
   /** Shared locally-dominant-edge loop over (src, dst, [weight,] p) rows
     * with distinct priorities p; keeps all non-p columns on the winners.
     */

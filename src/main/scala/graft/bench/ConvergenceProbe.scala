@@ -56,6 +56,10 @@ object ConvergenceProbe {
         cp.where(col("weight") >= 2).select("src", "dst"),
         numPartitions = cpus)
       println(s"PROBE $dir matching_rounds=$mR matching_size=${mDf.count()}")
+      val (mbDf, mbR) = graft.algos.Matching.runB(spark,
+        cp.where(col("weight") >= 2).select("src", "dst"), 2,
+        numPartitions = cpus)
+      println(s"PROBE $dir matching_b2_rounds=$mbR matching_b2_size=${mbDf.count()}")
       val (mwDf, mwR) = graft.algos.Matching.runWeighted(spark,
         cp.where(col("weight") >= 2).select("src", "dst", "weight"),
         numPartitions = cpus)

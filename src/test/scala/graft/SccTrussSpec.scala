@@ -194,6 +194,33 @@ class SccTrussSpec extends SparkSpec {
     }
   }
 
+  test("b-matching ≡ TRUE sequential greedy for b = 1, 2, 3") {
+    for (seed <- Seq(5, 19); b <- 1 to 3) {
+      val g = Oracles.randomGraph(seed, 22, 70)
+      val want = Oracles.bruteBMatching(g, b)
+      val (df, _) = graft.algos.Matching.runB(spark, edgesDf(g), b,
+        numPartitions = 4)
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === want, s"seed=$seed b=$b")
+      // validity: no vertex exceeds capacity b
+      val degs = got.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).view.mapValues(_.size)
+      assert(degs.values.forall(_ <= b), s"seed=$seed b=$b capacity")
+      // maximality: every dropped edge touches a saturated endpoint
+      val sat = degs.filter(_._2 == b).keys.toSet
+      val canon = g.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+      assert(canon.filterNot(got).forall(e => sat(e._1) || sat(e._2)),
+        s"seed=$seed b=$b not maximal")
+    }
+    // b = 1 degenerates to the unweighted matching
+    val g1 = Oracles.randomGraph(3, 25, 60)
+    val (b1, _) = graft.algos.Matching.runB(spark, edgesDf(g1), 1,
+      numPartitions = 4)
+    assert(b1.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Oracles.bruteMatching(g1))
+  }
+
   test("weighted matching ≡ sequential greedy; heavy edges dominate") {
     for (seed <- Seq(9, 23)) {
       val rnd = new scala.util.Random(seed)

@@ -289,6 +289,29 @@ object Oracles {
     res
   }
 
+  /** TRUE sequential greedy b-matching (edges in descending md5-prefix
+    * priority, accept while both endpoints have remaining capacity) —
+    * exact-equality reference for [[graft.algos.Matching.runB]].
+    * Deliberately a different algorithm shape from the engine's
+    * round-parallel rank rule.
+    */
+  def bruteBMatching(edges: Seq[(Long, Long)], b: Int): Set[(Long, Long)] = {
+    val canon = edges.flatMap { case (a, z) =>
+      if (a == z) Nil else Seq((math.min(a, z), math.max(a, z)))
+    }.distinct
+    val cap = scala.collection.mutable.Map.empty[Long, Int]
+      .withDefaultValue(b)
+    var res = Set.empty[(Long, Long)]
+    for (e <- canon.sortBy(x => -md5Prio(s"${x._1}:${x._2}"))) {
+      if (cap(e._1) > 0 && cap(e._2) > 0) {
+        res += e
+        cap(e._1) -= 1
+        cap(e._2) -= 1
+      }
+    }
+    res
+  }
+
   /** Sequential greedy MAX-WEIGHT matching with the engine's packed
     * (weight << 40 | md5-prefix) priorities — exact-equality reference for
     * [[graft.algos.Matching.runWeighted]].
