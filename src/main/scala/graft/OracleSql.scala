@@ -108,14 +108,15 @@ object OracleSql {
   /** Unrolled BFS chain named `p0..pk` from a scalar-subquery source
     * (needs e, v in scope); unit steps in double — integer-valued, exact.
     */
-  private def bfsChain(p: String, k: Int, srcSel: String): String = {
+  private def bfsChain(p: String, k: Int, srcSel: String,
+                       wExpr: String = "1.0"): String = {
     val d0 = s"${p}0 AS MATERIALIZED (SELECT v.id, CASE WHEN v.id = ($srcSel) " +
       "THEN 0.0 ELSE CAST(NULL AS DOUBLE) END AS dist FROM v)"
     val rounds = (1 to k).map { i =>
       s"""$p$i AS MATERIALIZED (
          |  SELECT q.id, CASE WHEN m.nd IS NULL THEN q.dist WHEN q.dist IS NULL OR m.nd < q.dist THEN m.nd ELSE q.dist END AS dist
          |  FROM $p${i - 1} q LEFT JOIN (
-         |    SELECT e.dst AS id, min(dd.dist + 1.0) AS nd
+         |    SELECT e.dst AS id, min(dd.dist + $wExpr) AS nd
          |    FROM e JOIN $p${i - 1} dd ON e.src = dd.id WHERE dd.dist IS NOT NULL GROUP BY e.dst) m ON q.id = m.id)""".stripMargin
     }
     (d0 +: rounds).mkString(",\n ")
@@ -478,6 +479,22 @@ object OracleSql {
          |  CAST(max(dist) AS BIGINT) AS diameter_lb
          |FROM q8 WHERE dist IS NOT NULL ORDER BY root""".stripMargin,
 
+    // weighted double-sweep: min-plus chains over integral weights; parity
+    // needs only equal unroll k in both engines (any k = valid ≤k-hop bound)
+    "diameter_w2sweep" ->
+      s"""WITH cp AS ($CP),
+         | e AS (SELECT src, dst, CAST(weight AS DOUBLE) AS w FROM cp UNION ALL SELECT dst, src, CAST(weight AS DOUBLE) FROM cp),
+         | v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         | ${bfsChain("p", 8, "SELECT min(src) FROM e", "e.w")},
+         | far AS MATERIALIZED (
+         |  SELECT id FROM p8 WHERE dist IS NOT NULL
+         |  ORDER BY dist DESC, id LIMIT 1),
+         | ${bfsChain("q", 8, "SELECT id FROM far", "e.w")}
+         |SELECT CAST((SELECT min(src) FROM e) AS BIGINT) AS root,
+         |  CAST((SELECT id FROM far) AS BIGINT) AS far,
+         |  CAST(max(dist) AS BIGINT) AS diameter_lb
+         |FROM q8 WHERE dist IS NOT NULL ORDER BY root""".stripMargin,
+
     "lp5" ->
       s"WITH $UND,\n ${lpRounds(5)}\nSELECT id, label FROM l5 ORDER BY id",
 
@@ -530,6 +547,17 @@ object OracleSql {
          | v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
          | ${relaxRounds(5, weighted = true)}
          |SELECT id, dist FROM d5 WHERE dist IS NOT NULL ORDER BY id""".stripMargin,
+
+    // Delta-stepping reaches the identical min-plus fixpoint as the
+    // converged run (the bucket schedule changes WORK, never distances),
+    // so its oracle is the same over-unrolled relaxation
+    "sssp_delta" ->
+      s"""WITH cp AS ($CP),
+         | ew AS (SELECT src, dst, CAST(weight AS DOUBLE) AS w FROM cp UNION ALL SELECT dst, src, CAST(weight AS DOUBLE) FROM cp),
+         | e AS (SELECT src, dst, w FROM ew),
+         | v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         | ${relaxRounds(8, weighted = true)}
+         |SELECT id, dist FROM d8 WHERE dist IS NOT NULL ORDER BY id""".stripMargin,
 
     // Converged engine run vs an OVER-unrolled relaxation: min-plus reaches
     // its fixpoint and is stable under extra rounds, so any unroll ≥ the
@@ -714,6 +742,34 @@ object OracleSql {
          |  FROM mh a JOIN mh b ON a.i = b.i AND a.h = b.h AND a.doc_id < b.doc_id),
          |$JaccTail
          |${jaccSelect("JOIN cand c ON i.doc1 = c.doc1 AND i.doc2 = c.doc2")}""".stripMargin,
+
+    // near-dup clusters: the minhash pair set (dedup_minhash's SQL),
+    // closed transitively (recursive min-label reachability — cc's oracle
+    // shape), every document mapped to its cluster min (or itself)
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $TOKS,
+         | ${shCte(3)},
+         | mh AS (
+         |  SELECT doc_id, t.i AS i, min(md5(CAST(t.i AS VARCHAR) || ':' || shingle)) AS h
+         |  FROM sh, unnest(generate_series(0, 15)) AS t(i) GROUP BY doc_id, t.i),
+         | cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+         |  FROM mh a JOIN mh b ON a.i = b.i AND a.h = b.h AND a.doc_id < b.doc_id),
+         |$JaccTail,
+         | pairs AS MATERIALIZED (
+         |  SELECT i.doc1, i.doc2 FROM inter i
+         |  JOIN cand c ON i.doc1 = c.doc1 AND i.doc2 = c.doc2
+         |  JOIN sizes s1 ON i.doc1 = s1.doc_id JOIN sizes s2 ON i.doc2 = s2.doc_id
+         |  WHERE round(i.inter * 1.0 / (s1.n + s2.n - i.inter), 6) >= 0.5),
+         | pe AS MATERIALIZED (SELECT doc1 AS src, doc2 AS dst FROM pairs UNION SELECT doc2, doc1 FROM pairs),
+         | reach AS (
+         |  SELECT src AS id, src AS lbl FROM pe
+         |  UNION
+         |  SELECT pe.dst AS id, r.lbl FROM reach r JOIN pe ON r.id = pe.src)
+         |SELECT d.doc_id, coalesce(m.keep_id, d.doc_id) AS keep_id
+         |FROM documents d LEFT JOIN (
+         |  SELECT id, min(lbl) AS keep_id FROM reach GROUP BY id) m ON d.doc_id = m.id
+         |ORDER BY d.doc_id""".stripMargin,
 
     // the drained per-row streaming minhash ≡ the batch md5 signatures
     "stream_minhash" ->

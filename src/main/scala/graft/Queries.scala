@@ -221,6 +221,16 @@ object Queries {
     "diameter2sweep" -> ((s, dir) =>
       Paths.doubleSweepDiameter(und(s, dir), 8).orderBy("root")),
 
+    // --- weighted double-sweep diameter lower bound (min-plus sweeps over
+    // the integral co-purchase weights; same equal-k parity argument)
+    "diameter_w2sweep" -> ((s, dir) => {
+      val cp = TestGraphs.copurchase(s, dir)
+      val ew = cp.select(col("src"), col("dst"), col("weight"))
+        .union(cp.select(col("dst"), col("src"), col("weight")))
+        .localCheckpoint(true)
+      Paths.doubleSweepDiameter(ew, 8, weighted = true).orderBy("root")
+    }),
+
     // --- label propagation (A3): 5 synchronous rounds --------------------
     "lp5" -> ((s, dir) =>
       LabelPropagation.fixedRounds(und(s, dir), 5)
@@ -317,6 +327,15 @@ object Queries {
 
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir), 3, 3, 0.5).orderBy("doc1", "doc2")),
+
+    // --- near-dup cluster canonicalization: minhash-LSH pairs → connected
+    // components → every doc mapped to its cluster's min doc_id (unique
+    // docs keep themselves) — "which row do I keep", not just pairs
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.clusters(s, docs(s, dir),
+        Dedup.minhashLsh(docs(s, dir), 3, 16, 0.5),
+        s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+        .orderBy("doc_id")),
 
     // --- text analysis -----------------------------------------------------
     "text_stats" -> ((s, dir) =>
@@ -553,6 +572,24 @@ object Queries {
         numPartitions =
           s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
         ._1.orderBy("id")
+    }),
+
+    // --- delta-stepping SSSP (Meyer–Sanders bucket schedule — settled
+    // vertices never re-shuffle, inner rounds ship only the changed
+    // frontier): schedule-independent distances, so the oracle is the
+    // same over-unrolled relaxation as sssp_converged
+    "sssp_delta" -> ((s, dir) => {
+      val cp = TestGraphs.copurchase(s, dir)
+      val ew = cp.select(col("src"), col("dst"),
+          col("weight").cast("double").as("weight"))
+        .union(cp.select(col("dst"), col("src"),
+          col("weight").cast("double")))
+        .localCheckpoint(true)
+      Paths.deltaStepping(s, ew, ew.select(col("src")).agg(min(col("src"))),
+        delta = 2.0,
+        numPartitions =
+          s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+        ._1.where(col("dist").isNotNull).orderBy("id")
     }),
 
     "sssp_converged" -> ((s, dir) => {

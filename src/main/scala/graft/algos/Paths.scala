@@ -107,20 +107,134 @@ object Paths {
     * sweep is a fixed `k`-round unrolled BFS (k ≥ the graph's eccentricity
     * ⇒ the fixpoint is reached and stable under the extra rounds, so the
     * DuckDB twin unrolls the same chains). All integer-exact: one row
-    * (root, far, diameter_lb).
+    * (root, far, diameter_lb). With `weighted` the sweeps are min-plus
+    * over integral edge weights (the weighted-eccentricity double sweep);
+    * parity needs only EQUAL k in both engines — any k yields a valid
+    * ≤k-hop lower bound.
     */
-  def doubleSweepDiameter(edges: DataFrame, k: Int): DataFrame = {
-    val e = edges.select("src", "dst").transform(Lineage.cut(_, eager = true))
+  def doubleSweepDiameter(edges: DataFrame, k: Int,
+                          weighted: Boolean = false): DataFrame = {
+    val e = (
+      if (weighted) edges.select("src", "dst", "weight")
+      else edges.select("src", "dst")
+    ).transform(Lineage.cut(_, eager = true))
     val root = e.agg(min(col("src")))
-    val d1 = fixedRounds(e, root, k, weighted = false)
+    val d1 = fixedRounds(e, root, k, weighted)
     val far = d1.where(col("dist").isNotNull)
       .orderBy(col("dist").desc, col("id").asc).limit(1).select("id")
-    val d2 = fixedRounds(e, far, k, weighted = false)
+    val d2 = fixedRounds(e, far, k, weighted)
     d2.where(col("dist").isNotNull)
       .agg(max(col("dist")).cast("long").as("diameter_lb"))
       .crossJoin(broadcast(root.toDF("root")))
       .crossJoin(broadcast(far.toDF("far")))
       .select(col("root"), col("far"), col("diameter_lb"))
+  }
+
+  /** Delta-stepping SSSP (Meyer & Sanders, J. Algorithms 49(1), 2003),
+    * relational spelling: tentative distances are processed in buckets of
+    * width `delta`; within the current bucket, LIGHT edges (w ≤ delta)
+    * relax to a fixpoint — only vertices whose distance improved into the
+    * current bucket re-scatter — then HEAVY edges (w > delta) relax ONCE
+    * and the bucket settles (a relaxation from bucket b along a heavy edge
+    * lands strictly above (b+1)·delta, so it can never re-open b). The
+    * result is exactly the Dijkstra/Bellman-Ford fixpoint — the schedule
+    * changes WORK, never distances — which is what lets the DuckDB twin
+    * stay the plain over-unrolled relaxation.
+    *
+    * The 100 TB case for the schedule: plain synchronous Bellman-Ford
+    * re-scatters the entire reached set every round for
+    * O(hop-length of the longest shortest path) rounds; here a vertex
+    * scatters only while its bucket is open (typically once), settled
+    * vertices NEVER re-enter a shuffle, and each inner round ships only
+    * the changed frontier — per-round shuffle volume tracks the frontier,
+    * not the reached set. One driver action per inner round (the lineage
+    * cut is materialized by the same scalar agg that reads the changed
+    * count — the KCore discipline); one per bucket close (heavy relax +
+    * settle + next-bucket min, folded into a single job).
+    *
+    * Returns ((id, dist) over ALL vertices — null dist = unreached —
+    * plus buckets processed and total light rounds). Loud
+    * IllegalStateException when `maxBuckets` / `maxInner` exhaust.
+    */
+  def deltaStepping(spark: SparkSession, edges: DataFrame, source: DataFrame,
+                    delta: Double, numPartitions: Int = 32,
+                    maxBuckets: Int = 10000,
+                    maxInner: Int = 200): (DataFrame, Int, Int) = {
+    require(delta > 0, s"delta-stepping needs delta > 0, got $delta")
+    val e = edges.select(col("src"), col("dst"),
+        col("weight").cast("double").as("w"))
+      .repartition(numPartitions, col("src"))
+      .transform(Lineage.cut(_, eager = true))
+    val light = e.where(col("w") <= delta)
+    val heavy = e.where(col("w") > delta)
+    val verts = GraphOps.vertices(e.select("src", "dst"))
+    def bkt(c: Column): Column = floor(c / delta).cast("long")
+    val nextBucket =
+      min(when(!col("settled") && col("dist").isNotNull, bkt(col("dist"))))
+
+    var st = verts.crossJoin(broadcast(source.toDF("s0")))
+      .select(col("id"),
+        when(col("id") === col("s0"), lit(0.0))
+          .otherwise(lit(null).cast("double")).as("dist"),
+        lit(false).as("settled"))
+      .transform(Lineage.cut(_))
+    var bRow = st.agg(nextBucket).head() // materializes init + finds bucket 0
+    var buckets = 0
+    var lightRounds = 0
+    while (!bRow.isNullAt(0)) {
+      val b = bRow.getLong(0)
+      buckets += 1
+      if (buckets > maxBuckets)
+        throw new IllegalStateException(
+          s"delta-stepping exceeded $maxBuckets buckets (delta=$delta too small?)")
+      val inBucket =
+        !col("settled") && col("dist").isNotNull && bkt(col("dist")) === b
+      // first pass scatters the whole open bucket; later passes only the
+      // vertices whose distance improved into it (chg)
+      var front = st.where(inBucket).select(col("id").as("src"), col("dist"))
+      var changed = true
+      var inner = 0
+      while (changed) {
+        inner += 1
+        lightRounds += 1
+        if (inner > maxInner)
+          throw new IllegalStateException(
+            s"delta-stepping bucket $b did not close in $maxInner light rounds")
+        val msgs = light.join(front, "src")
+          .groupBy(col("dst").as("id"))
+          .agg(min(col("dist") + col("w")).as("nd"))
+        val st2 = st.join(msgs, Seq("id"), "left_outer")
+          .select(col("id"),
+            least(col("dist"), col("nd")).as("dist"),
+            col("settled"),
+            (col("nd").isNotNull &&
+              (col("dist").isNull || col("nd") < col("dist")) &&
+              bkt(least(col("dist"), col("nd"))) === b).as("chg"))
+          .transform(Lineage.cut(_))
+        changed = st2.agg(sum(col("chg").cast("long"))).head().getLong(0) > 0
+        front = st2.where(col("chg")).select(col("id").as("src"), col("dist"))
+        st = st2.select("id", "dist", "settled")
+      }
+      // close the bucket: heavy relax once from its members, settle them,
+      // and find the next open bucket — one materializing job
+      val bucketSrc = st.where(inBucket)
+        .select(col("id").as("src"), col("dist"))
+      val hmsgs = heavy.join(bucketSrc, "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("dist") + col("w")).as("nd"))
+      // col("dist") in the settled expression is the PRE-relax distance:
+      // heavy relaxations land above (b+1)·delta, so bucket-b membership
+      // is unchanged by this select and old-dist is the right test
+      val st3 = st.join(hmsgs, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("dist"), col("nd")).as("dist"),
+          (col("settled") ||
+            (col("dist").isNotNull && bkt(col("dist")) === b)).as("settled"))
+        .transform(Lineage.cut(_))
+      bRow = st3.agg(nextBucket).head()
+      st = st3
+    }
+    (st.select("id", "dist"), buckets, lightRounds)
   }
 
   /** k rounds of min-plus relaxation (Bellman-Ford unrolled — distance

@@ -30,6 +30,12 @@ object ConvergenceProbe {
       val src0 = ew.agg(min(col("src"))).head().getLong(0)
       val r = Paths.sssp(spark, ew, src0,
         SuperstepConfig(maxIter = 100, numPartitions = cpus))
+      val (sdDf, sdB, sdL) = Paths.deltaStepping(spark, ew,
+        ew.select(col("src")).agg(min(col("src"))), 2.0,
+        numPartitions = cpus)
+      println(s"PROBE $dir sssp_delta_buckets=$sdB " +
+        s"sssp_delta_light_rounds=$sdL " +
+        s"sssp_delta_reached=${sdDf.where(col("dist").isNotNull).count()}")
       val (kc, kr) = KCore.converged(
         cp.where(col("weight") >= 2).select("src", "dst"), 3)
       val kRows = kc.count()

@@ -269,4 +269,29 @@ object Dedup {
     val sh = TextOps.shingleRows(docs, idCol, textCol, n)
     verifyJaccard(cand, sh, threshold, idCol)
   }
+
+  /** Near-dup cluster canonicalization — the production dedup shape
+    * ("which row do I keep"), not just raw pairs: near-dup `pairs`
+    * (doc1, doc2 [, …] from [[minhashLsh]]/[[simhashPairs]]/…) become an
+    * undirected graph, connected components assign every member its
+    * cluster's min doc id, and documents with no near-dup keep themselves.
+    * Near-duplication is NOT transitive — a chain A≈B≈C pulls A and C into
+    * one cluster even when jaccard(A,C) < threshold — which is exactly the
+    * conservative keep-one-per-cluster behavior a training-data dedup
+    * wants. Scale shape: the pair graph is tiny next to the corpus (only
+    * near-dup docs appear), components run HashMin over it, and the final
+    * assignment is one left join of (doc_id) against the component map —
+    * document text never enters any shuffle.
+    */
+  def clusters(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
+               pairs: DataFrame, numPartitions: Int = 32,
+               idCol: String = "doc_id"): DataFrame = {
+    val e = pairs.select(col("doc1").as("src"), col("doc2").as("dst"))
+      .localCheckpoint(true)
+    val comp = graft.algos.ConnectedComponents.run(spark, e,
+      graft.engine.SuperstepConfig(numPartitions = numPartitions)).state
+    docs.select(col(idCol))
+      .join(comp, col(idCol) === col("id"), "left_outer")
+      .select(col(idCol), coalesce(col("component"), col(idCol)).as("keep_id"))
+  }
 }

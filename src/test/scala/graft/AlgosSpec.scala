@@ -307,6 +307,39 @@ class AlgosSpec extends SparkSpec {
     assert(got === exp)
   }
 
+  test("delta-stepping ≡ converged Bellman-Ford across deltas; bucket bound holds") {
+    for (seed <- Seq(7, 21); delta <- Seq(0.7, 2.0, 100.0)) {
+      val g = Oracles.randomGraph(seed, 24, 50)
+      val rnd = new scala.util.Random(seed + 1)
+      val und = g.filter(e => e._1 != e._2).flatMap { case (a, b) =>
+        val w = (rnd.nextInt(5) + 1).toDouble
+        Seq((a, b, w), (b, a, w))
+      }.distinct
+      val verts = (und.map(_._1) ++ und.map(_._2)).distinct
+      val src = verts.min
+      val exp = Oracles.bellmanFord(verts, und, src, verts.size)
+        .filter(!_._2.isInfinity)
+      val e = edgesWDf(und)
+      val (df, buckets, _) = Paths.deltaStepping(spark, e,
+        e.select(col("src")).agg(min(col("src"))), delta, numPartitions = 4)
+      val got = collectD(df.where(col("dist").isNotNull), "id", "dist")
+      assert(got === exp, s"seed=$seed delta=$delta")
+      // every processed bucket holds ≥1 settled distance ⇒ ≤ range/delta+1
+      assert(buckets <= math.ceil(exp.values.max / delta).toInt + 1,
+        s"seed=$seed delta=$delta buckets=$buckets")
+      assert(df.count() === verts.size) // unreached keep null rows
+    }
+  }
+
+  test("delta-stepping matches the converged superstep SSSP") {
+    val e = edgesWDf(Seq((0L, 1L, 2.0), (1L, 2L, 2.0), (0L, 2L, 10.0),
+      (2L, 3L, 1.0)))
+    val (df, _, _) = Paths.deltaStepping(spark, e,
+      e.select(col("src")).agg(min(col("src"))), 2.0, numPartitions = 4)
+    assert(collectD(df.where(col("dist").isNotNull), "id", "dist") ===
+      Map(0L -> 0.0, 1L -> 2.0, 2L -> 4.0, 3L -> 5.0))
+  }
+
   test("SSSP converged run reaches all of a connected graph") {
     val e = edgesWDf(Seq((0L, 1L, 2.0), (1L, 2L, 2.0), (0L, 2L, 10.0),
       (2L, 3L, 1.0)))

@@ -54,6 +54,32 @@ class PipelineOpsSpec extends SparkSpec {
     assert(lsh === brute)
   }
 
+  test("near-dup clusters: transitive chain collapses, uniques keep selves") {
+    // chain: base ≈ nearDup ≈ nearDup2 (adjacent pairs over threshold;
+    // the ends need not be) + exact dup of base + two uniques
+    val nearDup2 = nearDup.replace("dark", "pale")
+    val chain = Seq((1L, base), (2L, nearDup), (3L, distinct1),
+      (4L, base), (5L, "tiny doc"), (6L, nearDup2))
+    val pairs = Dedup.minhashLsh(docsDf(chain), 3, 16, 0.5)
+    val got = Dedup.clusters(spark, docsDf(chain), pairs, numPartitions = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // expected: union-find closure over the ACTUAL emitted pairs
+    val ps = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map(
+      chain.map(_._1).map(v => v -> v): _*)
+    def find(v: Long): Long =
+      if (parent(v) == v) v else { parent(v) = find(parent(v)); parent(v) }
+    ps.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb
+    }
+    val roots = chain.map(_._1).groupBy(find)
+    val exp = roots.flatMap { case (_, vs) => vs.map(_ -> vs.min) }
+    assert(got === exp)
+    // the planted chain actually exercises transitivity: 1,2,4,6 together
+    assert(Set(1L, 2L, 4L, 6L).map(got) === Set(1L))
+    assert(got(3L) === 3L && got(5L) === 5L)
+  }
+
   test("simhash: identical docs at distance 0; near-dups within 3 bits") {
     val s = Dedup.simhash(docsDf(docs)).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

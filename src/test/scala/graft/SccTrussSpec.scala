@@ -271,4 +271,24 @@ class SccTrussSpec extends SparkSpec {
     val r2 = graft.algos.Paths.doubleSweepDiameter(undS, 5).head()
     assert((r2.getLong(0), r2.getLong(1), r2.getLong(2)) === ((0L, 1L, 2L)))
   }
+
+  test("weighted doubleSweepDiameter exact on weighted path and triangle") {
+    // path 0-1-2-3 with weights 3,1,5: far from 0 is 3 (dist 9), dlb = 9
+    val pw = Seq((0L, 1L, 3L), (1L, 2L, 1L), (2L, 3L, 5L))
+    val und = edgesW(pw)
+    val r = graft.algos.Paths.doubleSweepDiameter(und, 10, weighted = true)
+      .head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((0L, 3L, 9L)))
+    // triangle with one heavy side: 0-1 w5, 1-2 w1, 0-2 w1 — shortest
+    // 0↔1 is 2 via vertex 2; weighted ecc of every vertex is 2
+    val tri = edgesW(Seq((0L, 1L, 5L), (1L, 2L, 1L), (0L, 2L, 1L)))
+    val r2 = graft.algos.Paths.doubleSweepDiameter(tri, 6, weighted = true)
+      .head()
+    assert(r2.getLong(2) === 2L)
+  }
+
+  private def edgesW(tw: Seq[(Long, Long, Long)]) =
+    edgesWDf(tw.flatMap { case (a, b, w) =>
+      Seq((a, b, w.toDouble), (b, a, w.toDouble))
+    })
 }
