@@ -665,6 +665,53 @@ object OracleSql {
          |WHERE round(CAST(i.inter AS DOUBLE) / (d1.deg + d2.deg - i.inter), 6) >= 0.3
          |ORDER BY i.v1, i.v2""".stripMargin,
 
+    // Newman modularity of the 5-round LP partition on the weight≥2
+    // subgraph, as the exact rational (q_num, q_den) = (m2·Σin_c − Σd_c²,
+    // m2²) — every term an integer count, so no float crosses the gate
+    "modularity_lp5" ->
+      s"""WITH cp AS MATERIALIZED ($CP),
+         | e AS MATERIALIZED (SELECT src, dst FROM (
+         |                    SELECT src, dst FROM cp WHERE weight >= 2
+         |                    UNION SELECT dst, src FROM cp WHERE weight >= 2)
+         |                    WHERE src <> dst),
+         | v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         | ${lpRounds(5)},
+         | lab AS MATERIALIZED (SELECT id, label FROM l5),
+         | intra AS (SELECT CAST(count(*) AS BIGINT) AS inc FROM e
+         |   JOIN lab a ON a.id = e.src JOIN lab b ON b.id = e.dst
+         |   WHERE a.label = b.label),
+         | dcs AS (SELECT a.label, CAST(count(*) AS BIGINT) AS dcsum
+         |   FROM e JOIN lab a ON a.id = e.src GROUP BY 1),
+         | m2t AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM e)
+         |SELECT CAST(count(DISTINCT label) AS BIGINT) AS n_comms,
+         |  CAST((SELECT m2 FROM m2t) * (SELECT inc FROM intra)
+         |     - (SELECT CAST(sum(dcsum*dcsum) AS BIGINT) FROM dcs) AS BIGINT) AS q_num,
+         |  CAST((SELECT m2 FROM m2t) * (SELECT m2 FROM m2t) AS BIGINT) AS q_den
+         |FROM lab ORDER BY n_comms""".stripMargin,
+
+    // link prediction on the same weight≥2 graph: common-neighbor count +
+    // Resource Allocation in integer micro-units (1000000 // deg per
+    // common neighbor — DuckDB `//` floors like Spark `div` truncates on
+    // non-negative operands); non-adjacent pairs only, deterministic
+    // top-100 under the total (ra, cn, u, v) order
+    "link_pred" ->
+      s"""WITH cp AS MATERIALIZED ($CP),
+         | e AS MATERIALIZED (SELECT src, dst FROM (
+         |                    SELECT src, dst FROM cp WHERE weight >= 2
+         |                    UNION SELECT dst, src FROM cp WHERE weight >= 2)
+         |                    WHERE src <> dst),
+         | deg AS MATERIALIZED (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+         | leg AS MATERIALIZED (SELECT e.src AS ctr, e.dst AS nbr, d.deg
+         |   FROM e JOIN deg d ON d.id = e.src WHERE d.deg <= 10000),
+         | pairs AS (SELECT a.nbr AS u, b.nbr AS v,
+         |     CAST(count(*) AS BIGINT) AS cn,
+         |     CAST(sum(1000000 // a.deg) AS BIGINT) AS ra_micro
+         |   FROM leg a JOIN leg b ON a.ctr = b.ctr AND a.nbr < b.nbr
+         |   GROUP BY 1, 2)
+         |SELECT u, v, cn, ra_micro
+         |FROM pairs p ANTI JOIN e ON e.src = p.u AND e.dst = p.v
+         |ORDER BY ra_micro DESC, cn DESC, u, v LIMIT 100""".stripMargin,
+
     // truncated harmonic centrality: multi-root BFS unrolled 4 levels,
     // scored in exact integer micro-units (round(1e6/d) summed as BIGINT)
     "harmonic8" ->

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.algos.{Betweenness, ConnectedComponents, KCore, LabelPropagation, PageRank, Paths, TriangleCount}
+import graft.algos.{Betweenness, Community, ConnectedComponents, KCore, LabelPropagation, LinkPrediction, PageRank, Paths, TriangleCount}
 import graft.ann.Similarity
 import graft.corpus.CorpusGen
 import graft.dedup.Dedup
@@ -412,6 +412,29 @@ object Queries {
           .where(col("weight") >= 2).select("src", "dst"), 0.3,
         maxDeg = 8)
         .orderBy("v1", "v2")),
+
+    // --- community quality: Newman modularity of the 5-round LP partition
+    // on the weight≥2 subgraph (the dense full graph collapses LP to ≤2
+    // communities — a trivial gate), reported as the exact rational
+    // (q_num, q_den) so no float crosses the oracle ------------------------
+    "modularity_lp5" -> ((s, dir) => {
+      val e = GraphOps.symmetrize(
+          TestGraphs.copurchase(s, dir).where(col("weight") >= 2)
+            .select("src", "dst"))
+        .where(col("src") =!= col("dst")).localCheckpoint(true)
+      Community.modularity(e, LabelPropagation.fixedRounds(e, 5))
+        .orderBy("n_comms")
+    }),
+
+    // --- link prediction (common neighbors + Resource Allocation in exact
+    // integer micro-units — no float log crosses the gate): top-100
+    // non-adjacent pairs on the same weight≥2 graph as g_jaccard_sim ------
+    "link_pred" -> ((s, dir) =>
+      LinkPrediction.scores(
+          TestGraphs.copurchase(s, dir).where(col("weight") >= 2)
+            .select("src", "dst"))
+        .orderBy(col("ra_micro").desc, col("cn").desc, col("u"), col("v"))
+        .limit(100)),
 
     // --- strongly connected components (A: directed companion to cc) on
     // the directed graph: weight≥2 co-purchase edges forward plus weight≥3
