@@ -53,6 +53,35 @@ object OracleSql {
       |  GROUP BY 1, 2),
       | sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)""".stripMargin
 
+  /** Unrolled longest-path layering rounds (needs e, v in scope). */
+  private def layerRounds(k: Int): String = {
+    val rounds = (1 to k).map { i =>
+      s"""m$i AS MATERIALIZED (
+         |  SELECT e.dst AS id, max(l.layer) + 1 AS nl FROM e JOIN l${i - 1} l ON l.id = e.src GROUP BY 1),
+         | l$i AS MATERIALIZED (SELECT l.id, greatest(l.layer, coalesce(m.nl, 0)) AS layer FROM l${i - 1} l LEFT JOIN m$i m ON l.id = m.id)""".stripMargin
+    }
+    ("l0 AS MATERIALIZED (SELECT id, CAST(0 AS BIGINT) AS layer FROM v)" +:
+      rounds).mkString(",\n ")
+  }
+
+  /** Unrolled md5-argmin walk steps (needs e and w0 in scope). The
+    * arg_min ordinal concatenates a zero-padded neighbor id after the md5
+    * so the pick is a total order even under hash collision — identical
+    * to the engine's min_by priority. */
+  private def walkSteps(k: Int): String = {
+    val rounds = (1 to k).map { t =>
+      val pick = s"arg_min(e.dst, md5(CAST(w.cur AS VARCHAR) || ':' || '$t' || ':' || CAST(e.dst AS VARCHAR)) || lpad(CAST(e.dst AS VARCHAR), 20, '0'))"
+      s"""w$t AS MATERIALIZED (
+         |  SELECT w.start_id, coalesce($pick, w.cur) AS cur,
+         |    CASE WHEN count(e.dst) > 0
+         |         THEN max(w.path) || '->' || CAST(coalesce($pick, w.cur) AS VARCHAR)
+         |         ELSE max(w.path) END AS path
+         |  FROM w${t - 1} w LEFT JOIN e ON e.src = w.cur
+         |  GROUP BY w.start_id, w.cur)""".stripMargin
+    }
+    rounds.mkString(",\n ")
+  }
+
   private def prRounds(k: Int): String = {
     val rounds = (1 to k).map { i =>
       s"""r$i AS MATERIALIZED (
@@ -664,6 +693,28 @@ object OracleSql {
          |FROM inter i JOIN deg d1 ON i.v1 = d1.id JOIN deg d2 ON i.v2 = d2.id
          |WHERE round(CAST(i.inter AS DOUBLE) / (d1.deg + d2.deg - i.inter), 6) >= 0.3
          |ORDER BY i.v1, i.v2""".stripMargin,
+
+    // truncated longest-path layering of the weight≥2 DAG (src<dst ⇒
+    // acyclic): 8 unrolled monotone max-rounds, integer-exact
+    "dag_layers8" ->
+      s"""WITH cp AS MATERIALIZED ($CP),
+         | e AS MATERIALIZED (SELECT src, dst FROM cp WHERE weight >= 2),
+         | v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         | ${layerRounds(8)}
+         |SELECT id, CAST(layer AS BIGINT) AS layer FROM l8 ORDER BY id""".stripMargin,
+
+    // deterministic md5-seeded walks: 4 unrolled argmin steps from every
+    // id≡0 (mod 20) vertex of the weight≥2 undirected graph
+    "walks4" ->
+      s"""WITH cp AS MATERIALIZED ($CP),
+         | e AS MATERIALIZED (SELECT src, dst FROM (
+         |                    SELECT src, dst FROM cp WHERE weight >= 2
+         |                    UNION SELECT dst, src FROM cp WHERE weight >= 2)
+         |                    WHERE src <> dst),
+         | v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         | w0 AS (SELECT id AS start_id, id AS cur, CAST(id AS VARCHAR) AS path FROM v WHERE id % 20 = 0),
+         | ${walkSteps(4)}
+         |SELECT start_id, path, cur AS end_id FROM w4 ORDER BY start_id""".stripMargin,
 
     // Newman modularity of the 5-round LP partition on the weight≥2
     // subgraph, as the exact rational (q_num, q_den) = (m2·Σin_c − Σd_c²,

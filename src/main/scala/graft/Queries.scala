@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.algos.{Betweenness, Community, ConnectedComponents, KCore, LabelPropagation, LinkPrediction, PageRank, Paths, TriangleCount}
+import graft.algos.{Betweenness, Community, ConnectedComponents, KCore, LabelPropagation, LinkPrediction, PageRank, Paths, TriangleCount, Walks}
 import graft.ann.Similarity
 import graft.corpus.CorpusGen
 import graft.dedup.Dedup
@@ -412,6 +412,27 @@ object Queries {
           .where(col("weight") >= 2).select("src", "dst"), 0.3,
         maxDeg = 8)
         .orderBy("v1", "v2")),
+
+    // --- truncated longest-path DAG layering (topological levels) on the
+    // weight≥2 co-purchase DAG (src<dst orientation ⇒ acyclic); 8 rounds,
+    // integer-exact at any equal k (harmonic8 truncation discipline) ------
+    "dag_layers8" -> ((s, dir) =>
+      Paths.dagLayers(
+        TestGraphs.copurchase(s, dir).where(col("weight") >= 2)
+          .select("src", "dst"), 8)
+        .orderBy("id")),
+
+    // --- deterministic md5-seeded random walks (the DeepWalk corpus
+    // generator shape): 4 hops from every id≡0 (mod 20) vertex of the
+    // weight≥2 undirected graph — the trajectory replays exactly in SQL --
+    "walks4" -> ((s, dir) => {
+      val e = GraphOps.symmetrize(
+          TestGraphs.copurchase(s, dir).where(col("weight") >= 2)
+            .select("src", "dst"))
+        .where(col("src") =!= col("dst")).localCheckpoint(true)
+      Walks.walks(e, GraphOps.vertices(e).where(col("id") % 20 === 0), 4)
+        .orderBy("start_id")
+    }),
 
     // --- community quality: Newman modularity of the 5-round LP partition
     // on the weight≥2 subgraph (the dense full graph collapses LP to ≤2

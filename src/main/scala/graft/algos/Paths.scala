@@ -245,6 +245,33 @@ object Paths {
     * double the plan per round (2^k leaf copies — measured 45s at sf0.1
     * for k=5); rounds are therefore localCheckpoint-materialized.
     */
+  /** Truncated longest-path layering of a DAG (topological levels, the
+    * scheduling/stratification view of directed reachability):
+    * l_0(v) = 0; l_{t+1}(v) = max(l_t(v), 1 + max_{(u,v)∈E} l_t(u)) —
+    * after k rounds, l_k(v) is the length of the longest path ending at v
+    * over ≤ k edges. Monotone, so k ≥ the DAG's longest path makes it the
+    * exact layering and extra rounds are absorbed (the harmonic8
+    * truncation discipline: any equal k is engine-exact integer output).
+    * Each round is one co-partitioned join + max-aggregate on the vertex
+    * key — frontier-free by design (the max recurrence touches every
+    * vertex, but map-side partial max keeps the shuffle at |V| rows).
+    */
+  def dagLayers(edges: DataFrame, k: Int): DataFrame = {
+    val e = edges.select("src", "dst").transform(Lineage.cut(_, eager = true))
+    val verts = GraphOps.vertices(e)
+    var layer = verts.select(col("id"), lit(0L).as("layer"))
+    for (i <- 1 to k) {
+      val msgs = e.join(layer.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg((max(col("layer")) + 1L).as("nl"))
+      layer = layer.join(msgs, Seq("id"), "left_outer")
+        .select(col("id"),
+          greatest(col("layer"), coalesce(col("nl"), lit(0L))).as("layer"))
+      if (i < k) layer = layer.transform(Lineage.cut(_, eager = true))
+    }
+    layer
+  }
+
   def fixedRounds(edges: DataFrame, source: DataFrame, k: Int,
                   weighted: Boolean): DataFrame = {
     // The edge table is loop-invariant but each eagerly-materialized round
