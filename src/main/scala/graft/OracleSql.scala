@@ -929,6 +929,36 @@ object OracleSql {
          |       WHEN s_fr > 0 THEN 'fr' ELSE 'und' END AS pred_lang
          |FROM sc ORDER BY doc_id""".stripMargin,
 
+    // batch sessionization, 4-hour gap (>= gap starts a new session — the
+    // session_window merge rule); epoch-micro starts, integer cents
+    "sessionize" ->
+      """WITH m AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= CAST(14400 AS BIGINT) * 1000000 THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        | s AS (
+        |  SELECT user_id, ts, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id,
+        |  CAST(min(epoch_us(ts)) AS BIGINT) AS session_start_us,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin,
+
+    // corpus-wide top-50 bigram counts over the TOKS tokenization
+    // (non-distinct — every occurrence counts, unlike the shingle CTEs)
+    "topk_bigrams" ->
+      s"""WITH $TOKS,
+         | idx AS (SELECT doc_id, ts, unnest(generate_series(1, CAST(len(ts) AS BIGINT) - 1)) AS i
+         |   FROM toks WHERE len(ts) >= 2),
+         | bg AS (SELECT ts[i] || ' ' || ts[i+1] AS gram FROM idx)
+         |SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM bg GROUP BY 1
+         |ORDER BY cnt DESC, gram LIMIT 50""".stripMargin,
+
     "token_count" ->
       """SELECT doc_id,
         |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS ws_tokens,

@@ -337,6 +337,22 @@ object Queries {
         s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
         .orderBy("doc_id")),
 
+    // --- batch sessionization of the event log: 4-hour gap rule (the
+    // session_window merge semantics — stream_sessions shares the same
+    // oracle shape); epoch-micro starts + integer cents, so nothing float
+    // crosses the gate -----------------------------------------------------
+    "sessionize" -> ((s, dir) =>
+      graft.events.Sessionize
+        .sessions(TestGraphs.table(s, dir, "events"), gapSeconds = 14400L)
+        .orderBy("user_id", "session_start_us")),
+
+    // --- corpus-wide top-50 bigram counts (boilerplate/contamination
+    // profile); deterministic under the total (cnt, gram) order ------------
+    "topk_bigrams" -> ((s, dir) =>
+      TextOps.ngramCounts(docs(s, dir), 2)
+        .orderBy(col("cnt").desc, col("gram"))
+        .limit(50)),
+
     // --- text analysis -----------------------------------------------------
     "text_stats" -> ((s, dir) =>
       TextOps.textStats(docs(s, dir)).orderBy("doc_id")),

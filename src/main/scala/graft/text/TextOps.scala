@@ -37,6 +37,35 @@ object TextOps {
     docs.select(col(idCol), tokens(col(textCol)).as("__ts"))
       .select(col(idCol), explode(shingles(col("__ts"), n)).as("shingle"))
 
+  /** Corpus-wide word n-gram counts — the frequency profile a pretraining
+    * pipeline runs for boilerplate/contamination detection. NON-distinct
+    * grams (unlike [[shingles]], which deduplicates per doc): every
+    * occurrence counts. Spelled as posexplode + (n−1) co-partitioned
+    * position joins + a map-side-combinable count — each join and the
+    * aggregate shuffle on bounded keys ((doc_id, pos) then gram), so the
+    * shape survives a 100× corpus where a per-doc HOF building all grams
+    * in one array row would not blow up either, but the relational form
+    * keeps whole-stage codegen and lets AQE handle gram skew (stopword
+    * bigrams are the classic hot keys).
+    */
+  def ngramCounts(docs: DataFrame, n: Int, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    val pos = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__ts"))
+      .select(col("doc_id"), posexplode(col("__ts")).as(Seq("i", "w")))
+    var grams = pos.select(col("doc_id"), col("i"), col("w").as("gram"))
+    for (d <- 1 until n) {
+      grams = grams.join(
+        pos.select(col("doc_id"), (col("i") - d).as("i"),
+          col("w").as("__next")),
+        Seq("doc_id", "i"))
+        .select(col("doc_id"), col("i"),
+          concat(col("gram"), lit(" "), col("__next")).as("gram"))
+    }
+    grams.groupBy("gram").agg(count(lit(1)).as("cnt"))
+  }
+
   // --- quality scoring -----------------------------------------------------
 
   val Stopwords: Seq[String] =
