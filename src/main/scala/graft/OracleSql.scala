@@ -389,6 +389,24 @@ object OracleSql {
 
   // --- the statements -------------------------------------------------------
 
+  private val SessionizeSql: String =
+    """WITH m AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > CAST(14400 AS BIGINT) * 1000000 THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      | s AS (
+      |  SELECT user_id, ts, value,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM m)
+      |SELECT user_id,
+      |  CAST(min(epoch_us(ts)) AS BIGINT) AS session_start_us,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, session_start_us""".stripMargin
+
   val all: Map[String, String] = Map(
     "g_copurchase" ->
       s"WITH cp AS ($CP) SELECT src, dst, weight FROM cp ORDER BY src, dst",
@@ -929,25 +947,14 @@ object OracleSql {
          |       WHEN s_fr > 0 THEN 'fr' ELSE 'und' END AS pred_lang
          |FROM sc ORDER BY doc_id""".stripMargin,
 
-    // batch sessionization, 4-hour gap (>= gap starts a new session — the
-    // session_window merge rule); epoch-micro starts, integer cents
-    "sessionize" ->
-      """WITH m AS (
-        |  SELECT user_id, ts, event_id, value,
-        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= CAST(14400 AS BIGINT) * 1000000 THEN 1 ELSE 0 END AS brk
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        | s AS (
-        |  SELECT user_id, ts, value,
-        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM m)
-        |SELECT user_id,
-        |  CAST(min(epoch_us(ts)) AS BIGINT) AS session_start_us,
-        |  CAST(count(*) AS BIGINT) AS n_events,
-        |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
-        |FROM s GROUP BY user_id, sid
-        |ORDER BY user_id, session_start_us""".stripMargin,
+    // batch sessionization, 4-hour gap (a gap STRICTLY greater than
+    // gapSeconds starts a new session — session_window's boundary is
+    // inclusive); epoch-micro starts, integer cents. stream_sessions is
+    // the session_window spelling of the same merge rule and shares this
+    // statement verbatim.
+    "sessionize" -> SessionizeSql,
+
+    "stream_sessions" -> SessionizeSql,
 
     // corpus-wide top-50 bigram counts over the TOKS tokenization
     // (non-distinct — every occurrence counts, unlike the shingle CTEs)

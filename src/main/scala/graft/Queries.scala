@@ -346,6 +346,15 @@ object Queries {
         .sessions(TestGraphs.table(s, dir, "events"), gapSeconds = 14400L)
         .orderBy("user_id", "session_start_us")),
 
+    // --- the SAME sessions via Structured Streaming session_window
+    // (append mode, watermark-flushed bounded replay) — shares
+    // sessionize's oracle row-for-row ------------------------------------
+    "stream_sessions" -> ((s, dir) =>
+      graft.streaming.SessionStream
+        .sessionsViaStream(TestGraphs.table(s, dir, "events"),
+          gapSeconds = 14400L)
+        .orderBy("user_id", "session_start_us")),
+
     // --- corpus-wide top-50 bigram counts (boilerplate/contamination
     // profile); deterministic under the total (cnt, gram) order ------------
     "topk_bigrams" -> ((s, dir) =>

@@ -5,11 +5,12 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Batch sessionization of an event log: per-user sessions split where
-  * the gap to the previous event is ≥ `gapSeconds` — exactly the merge
-  * rule of Spark's streaming `session_window(ts, gap)` (events merge
-  * while each arrives strictly inside the previous event's ts+gap), so
-  * the batch and streaming spellings agree row-for-row and
-  * [[graft.streaming.SessionStream]] can share this query's oracle.
+  * the gap to the previous event EXCEEDS `gapSeconds` — exactly the
+  * merge rule of Spark's streaming `session_window(ts, gap)` (an event
+  * at ts ≤ previous+gap merges; the boundary is INCLUSIVE, pinned by
+  * EventsSpec's exact-gap pair), so the batch and streaming spellings
+  * agree row-for-row and [[graft.streaming.SessionStream]] shares this
+  * query's oracle.
   *
   * Engine-agnostic output: session_start in epoch MICROSECONDS (exact
   * BIGINT both engines under a UTC session), event counts, and value
@@ -35,7 +36,7 @@ object Sessionize {
       .withColumn("prev_us", lag(col("us"), 1).over(w))
       .withColumn("brk",
         when(col("prev_us").isNull ||
-          col("us") - col("prev_us") >= gapSeconds * 1000000L, 1L)
+          col("us") - col("prev_us") > gapSeconds * 1000000L, 1L)
           .otherwise(0L))
       .withColumn("sid", sum(col("brk")).over(cum))
     marked.groupBy("user_id", "sid")
