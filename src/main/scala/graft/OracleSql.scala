@@ -712,6 +712,26 @@ object OracleSql {
          |WHERE round(CAST(i.inter AS DOUBLE) / (d1.deg + d2.deg - i.inter), 6) >= 0.3
          |ORDER BY i.v1, i.v2""".stripMargin,
 
+    // HITS hubs & authorities, unnormalized fixed-4: every score an exact
+    // integer (DuckDB HUGEINT sums cast back to BIGINT; 13 digits at k=4)
+    "hits4" -> {
+      val iters = (1 to 4).map { i =>
+        s"""a$i AS MATERIALIZED (SELECT e.dst AS id, CAST(sum(h.h) AS BIGINT) AS a
+           |   FROM e JOIN h${i - 1} h ON h.id = e.src GROUP BY 1),
+           | h$i AS MATERIALIZED (SELECT e.src AS id, CAST(sum(a.a) AS BIGINT) AS h
+           |   FROM e JOIN a$i a ON a.id = e.dst GROUP BY 1)""".stripMargin
+      }.mkString(",\n ")
+      s"""WITH e AS MATERIALIZED (
+         |   SELECT o.o_custkey AS src, l.l_partkey + 1000000000 AS dst
+         |   FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         |   GROUP BY 1, 2),
+         | h0 AS (SELECT DISTINCT src AS id, CAST(1 AS BIGINT) AS h FROM e),
+         | $iters
+         |SELECT id, 'hub' AS kind, h AS score FROM h4
+         |UNION ALL SELECT id, 'auth' AS kind, a AS score FROM a4
+         |ORDER BY id, kind""".stripMargin
+    },
+
     // truncated longest-path layering of the weight≥2 DAG (src<dst ⇒
     // acyclic): 8 unrolled monotone max-rounds, integer-exact
     "dag_layers8" ->

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.algos.{Betweenness, Community, ConnectedComponents, KCore, LabelPropagation, LinkPrediction, PageRank, Paths, TriangleCount, Walks}
+import graft.algos.{Betweenness, Community, ConnectedComponents, KCore, LabelPropagation, LinkPrediction, Hits, PageRank, Paths, TriangleCount, Walks}
 import graft.ann.Similarity
 import graft.corpus.CorpusGen
 import graft.dedup.Dedup
@@ -437,6 +437,15 @@ object Queries {
           .where(col("weight") >= 2).select("src", "dst"), 0.3,
         maxDeg = 8)
         .orderBy("v1", "v2")),
+
+    // --- HITS hubs & authorities on the customer→part bipartite graph,
+    // unnormalized fixed-4 form: every score an exact integer (sums of
+    // degree products), so the full trajectory crosses the gate; k=4 is
+    // 5 digits under the BIGINT ceiling (measured, Hits scaladoc) --------
+    "hits4" -> ((s, dir) =>
+      Hits.fixedIterations(TestGraphs.custPart(s, dir)
+          .select("src", "dst"), 4)
+        .orderBy("id", "kind")),
 
     // --- truncated longest-path DAG layering (topological levels) on the
     // weight≥2 co-purchase DAG (src<dst orientation ⇒ acyclic); 8 rounds,

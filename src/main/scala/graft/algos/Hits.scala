@@ -1,0 +1,53 @@
+package graft.algos
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.engine.Lineage
+
+/** HITS hubs & authorities (Kleinberg, JACM 46(5), 1999) in its
+  * UNNORMALIZED fixed-k form: h_0 ≡ 1, then per iteration
+  * a_t(v) = Σ_{(u,v)∈E} h_{t−1}(u) and h_t(u) = Σ_{(u,v)∈E} a_t(v).
+  * Without the per-round normalization every score is an integer — sums
+  * of products of in/out-degrees — so the whole trajectory crosses the
+  * Spark↔DuckDB oracle bit-exactly, where normalized float scores would
+  * be 1-ulp division noise. Rankings are IDENTICAL to normalized HITS
+  * (normalization is a positive scalar per round).
+  *
+  * Overflow budget: scores grow ~3 decimal digits per iteration on the
+  * customer→part graph (measured: 13 digits after k=4 at both sf0.01 and
+  * sf0.1) — k=4 sits 5 digits under the BIGINT ceiling. At a much larger
+  * scale or deeper k, switch to per-round max-normalization and accept a
+  * rows-only gate (floats), or DECIMAL(38) columns.
+  *
+  * Scale shape: two co-partitioned join+sum rounds per iteration over
+  * the fixed edge layout (the PageRank superstep shape with src/dst
+  * alternating as the key); map-side partial sums keep each shuffle at
+  * |V| rows.
+  */
+object Hits {
+
+  /** `edges`: directed (src, dst), deduplicated. Returns one row per
+    * vertex side: (id, kind ∈ {hub, auth}, score) after k full
+    * iterations. Sources that are never destinations get no auth row and
+    * vice versa (standard bipartite reading).
+    */
+  def fixedIterations(edges: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val e = edges.select("src", "dst").transform(Lineage.cut(_, eager = true))
+    var h = e.select(col("src").as("id")).distinct()
+      .select(col("id"), lit(1L).as("h"))
+    var a: DataFrame = null
+    for (i <- 1 to k) {
+      a = e.join(h.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(sum(col("h")).as("a"))
+        .transform(Lineage.cut(_, eager = true))
+      h = e.join(a.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id")).agg(sum(col("a")).as("h"))
+      if (i < k) h = h.transform(Lineage.cut(_, eager = true))
+    }
+    h.select(col("id"), lit("hub").as("kind"), col("h").as("score"))
+      .unionByName(
+        a.select(col("id"), lit("auth").as("kind"), col("a").as("score")))
+  }
+}
