@@ -712,6 +712,40 @@ object OracleSql {
          |WHERE round(CAST(i.inter AS DOUBLE) / (d1.deg + d2.deg - i.inter), 6) >= 0.3
          |ORDER BY i.v1, i.v2""".stripMargin,
 
+    // one-row exact moment profile: counts, max degree, wedges, and the
+    // degree-assortativity Pearson coefficient as an exact rational
+    // (symmetrized marginals make the sqrt denominator one integer)
+    "graph_profile" ->
+      s"""WITH cp AS MATERIALIZED ($CP),
+         | e AS MATERIALIZED (SELECT src, dst FROM cp UNION SELECT dst, src FROM cp),
+         | d AS MATERIALIZED (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+         | t AS (SELECT ds.deg AS x, dd.deg AS y
+         |   FROM e JOIN d ds ON ds.id = e.src JOIN d dd ON dd.id = e.dst),
+         | mo AS (SELECT CAST(count(*) AS BIGINT) AS m2, CAST(sum(x) AS BIGINT) AS sx,
+         |   CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(x*x) AS BIGINT) AS sxx FROM t),
+         | dstats AS (SELECT CAST(count(*) AS BIGINT) AS n_vertices,
+         |   CAST(max(deg) AS BIGINT) AS max_deg,
+         |   CAST(sum((deg*(deg-1))//2) AS BIGINT) AS wedges FROM d)
+         |SELECT n_vertices, m2, max_deg, wedges,
+         |  CAST(m2*sxy - sx*sx AS BIGINT) AS assort_num,
+         |  CAST(m2*sxx - sx*sx AS BIGINT) AS assort_den
+         |FROM mo, dstats ORDER BY n_vertices""".stripMargin,
+
+    // bipartite butterfly count: dst-side pairs via src-centered wedges;
+    // C(cn,2) summed as exact BIGINTs, deg<=10000 hot-center cap mirrored
+    "butterflies" ->
+      """WITH e AS MATERIALIZED (
+        |   SELECT o.o_custkey AS src, l.l_partkey + 1000000000 AS dst
+        |   FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |   GROUP BY 1, 2),
+        | d AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+        | c AS MATERIALIZED (SELECT e.src, e.dst FROM e JOIN d ON d.src = e.src WHERE d.deg <= 10000),
+        | pairs AS (SELECT a.dst AS v, b.dst AS w, CAST(count(*) AS BIGINT) AS cn
+        |   FROM c a JOIN c b ON a.src = b.src AND a.dst < b.dst GROUP BY 1, 2)
+        |SELECT CAST(count(*) AS BIGINT) AS wedge_pairs,
+        |  CAST(coalesce(sum((cn*(cn-1))//2), 0) AS BIGINT) AS butterflies
+        |FROM pairs ORDER BY butterflies""".stripMargin,
+
     // HITS hubs & authorities, unnormalized fixed-4: every score an exact
     // integer (DuckDB HUGEINT sums cast back to BIGINT; 13 digits at k=4)
     "hits4" -> {

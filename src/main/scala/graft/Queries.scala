@@ -438,6 +438,18 @@ object Queries {
         maxDeg = 8)
         .orderBy("v1", "v2")),
 
+    // --- one-row exact moment profile of the undirected graph: counts,
+    // max degree, wedges, and degree assortativity as an exact rational --
+    "graph_profile" -> ((s, dir) =>
+      GraphOps.profile(und(s, dir)).orderBy("n_vertices")),
+
+    // --- bipartite butterfly (4-cycle) count on the customer→part graph
+    // (the bipartite triangle analog); exact integers, hot-center cap ----
+    "butterflies" -> ((s, dir) =>
+      TriangleCount.butterflies(
+        TestGraphs.custPart(s, dir).select("src", "dst"))
+        .orderBy("butterflies")),
+
     // --- HITS hubs & authorities on the customer→part bipartite graph,
     // unnormalized fixed-4 form: every score an exact integer (sums of
     // degree products), so the full trajectory crosses the gate; k=4 is

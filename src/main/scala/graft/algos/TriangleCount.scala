@@ -103,4 +103,34 @@ object TriangleCount {
           expr("(2000000 * coalesce(tri_cnt, 0)) div (deg * (deg - 1))"))
           .otherwise(lit(0L)).as("lcc_micro"))
   }
+
+  /** Butterfly (bipartite 4-cycle) count — the motif that plays the
+    * triangle's role in bipartite graphs (Sanei-Mehri, Sariyüce &
+    * Tirthapura, KDD 2018): ▷◁ = Σ_{v<w same side} C(|N(v)∩N(w)|, 2),
+    * counted here from the DST side via SRC-centered wedges. cn·(cn−1)/2
+    * is a product of consecutive integers, so the per-pair term and the
+    * total are exact BIGINTs in both engines.
+    *
+    * `maxDeg` is the hot-wedge-center guard (a src of degree d generates
+    * d² wedge pairs — the LinkPrediction/g_jaccard_capped discipline);
+    * deterministic, so capped runs stay oracle-able. Returns one row
+    * (wedge_pairs, butterflies).
+    */
+  def butterflies(edges: DataFrame, maxDeg: Long = 10000L): DataFrame = {
+    val e = edges.select("src", "dst").distinct()
+      .transform(graft.engine.Lineage.cut(_, eager = true))
+    val deg = e.groupBy(col("src").as("id"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("deg"))
+    val capped = e.join(deg.where(col("deg") <= maxDeg)
+      .select(col("id").as("src")), Seq("src"), "left_semi")
+    val w1 = capped.select(col("src").as("ctr"), col("dst").as("v"))
+    val w2 = capped.select(col("src").as("ctr"), col("dst").as("w"))
+    val pairs = w1.join(w2, "ctr").where(col("v") < col("w"))
+      .groupBy("v", "w")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("cn"))
+    pairs.agg(
+      org.apache.spark.sql.functions.count(lit(1)).as("wedge_pairs"),
+      coalesce(sum(expr("(cn * (cn - 1)) div 2")), lit(0L))
+        .as("butterflies"))
+  }
 }

@@ -107,6 +107,47 @@ object GraphOps {
     edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id"))).distinct()
 
+  /** One-row exact moment profile of an undirected graph (input: the
+    * SYMMETRIZED edge set) — the degree-correlation summary a planner or
+    * analyst reads before choosing layouts: vertex/edge counts, max
+    * degree, wedge count Σ C(d,2), and the degree-assortativity Pearson
+    * coefficient as an EXACT RATIONAL (Newman, Phys. Rev. Lett. 89,
+    * 208701, 2002): over directed edge copies with x=deg(src), y=deg(dst),
+    * r = (m2·Σxy − Σx·Σy) / (m2·Σx² − (Σx)²) — symmetrization makes the
+    * x and y marginals identical, so the usual sqrt denominator collapses
+    * to one integer and (assort_num, assort_den) cross the oracle
+    * bit-exactly where a float r would be summation noise.
+    *
+    * Scale shape: one degree aggregate, one join of edges against the
+    * degree map per endpoint (shuffle on vertex id), then a single
+    * global one-row aggregate — map-side partial sums all the way.
+    */
+  def profile(edges: DataFrame): DataFrame = {
+    val e = edges.select("src", "dst")
+    val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val tagged = e
+      .join(deg.toDF("src", "ds"), "src")
+      .join(deg.toDF("dst", "dd"), "dst")
+    val degStats = deg.agg(
+      count(lit(1)).as("n_vertices"),
+      max(col("deg")).as("max_deg"),
+      sum(expr("(deg * (deg - 1)) div 2")).as("wedges"))
+    val moments = tagged.agg(
+      count(lit(1)).as("m2"),
+      sum(col("ds")).as("sx"),
+      sum(col("ds") * col("ds")).as("sxx"),
+      sum(col("ds") * col("dd")).as("sxy"))
+    moments.crossJoin(broadcast(degStats))
+      .select(col("n_vertices").cast("long").as("n_vertices"),
+        col("m2").cast("long").as("m2"),
+        col("max_deg").cast("long").as("max_deg"),
+        col("wedges").cast("long").as("wedges"),
+        (col("m2") * col("sxy") - col("sx") * col("sx")).cast("long")
+          .as("assort_num"),
+        (col("m2") * col("sxx") - col("sx") * col("sx")).cast("long")
+          .as("assort_den"))
+  }
+
   /** G2 — dense id assignment 0..V-1 by global sort order, scale-safe:
     * range-repartition + in-partition sort, per-partition counts collected
     * once (tiny), then offset + local rank inside `mapPartitions`. The
