@@ -255,6 +255,56 @@ object OracleSql {
     ((m0 +: rounds) :+ s"allw AS MATERIALIZED ($wins)").mkString(",\n ")
   }
 
+  /** Unrolled Borůvka MSF rounds over the canonical weighted edge CTE
+    * `cpfw` ([[graft.algos.Msf]] value-for-value: packed weight<<40 | md5
+    * priorities, per-component argmin under the (pri, src, dst) total
+    * order, 2-cycle roots, `jumps` unrolled pointer jumps per round —
+    * depth 2^jumps ≥ the measured parent-tree depth with margin — then
+    * contraction deduped to the min-priority edge per component pair).
+    * Rounds and jumps past the fixpoint are empty CTEs (over-unroll-safe).
+    * Measured by MsfRoundsProbe: 4 rounds / maxJump 4 at sf0.01, 3/3 at
+    * sf0.1 — rounds=8, jumps=8 is ≥2× margin on both axes.
+    */
+  private def msfRounds(rounds: Int, jumps: Int): String = {
+    val ce0 = "ce0 AS MATERIALIZED (SELECT src AS cu, dst AS cv, " +
+      "weight * 1099511627776 + ('0x' || substr(md5(CAST(src AS VARCHAR) " +
+      "|| ':' || CAST(dst AS VARCHAR)), 1, 10))::BIGINT AS pri, " +
+      "src, dst, weight FROM cpfw)"
+    val rs = (1 to rounds).map { r =>
+      val jumpCtes = (1 to jumps).map { j =>
+        s"""p${r}j$j AS (SELECT a.c, b.p FROM p${r}j${j - 1} a
+           |  JOIN p${r}j${j - 1} b ON a.p = b.c)""".stripMargin
+      }.mkString(",\n ")
+      s"""ch$r AS MATERIALIZED (
+         |  SELECT c, t, src, dst, weight FROM (
+         |    SELECT c, t, src, dst, weight,
+         |      row_number() OVER (PARTITION BY c ORDER BY pri, src, dst) AS rn
+         |    FROM (SELECT cu AS c, cv AS t, pri, src, dst, weight FROM ce${r - 1}
+         |          UNION ALL
+         |          SELECT cv, cu, pri, src, dst, weight FROM ce${r - 1}))
+         |  WHERE rn = 1),
+         | p${r}j0 AS (
+         |  SELECT a.c, CASE WHEN b.t = a.c AND a.c < a.t THEN a.c ELSE a.t END AS p
+         |  FROM ch$r a JOIN ch$r b ON a.t = b.c),
+         | $jumpCtes,
+         | ce$r AS MATERIALIZED (
+         |  SELECT cu, cv, pri, src, dst, weight FROM (
+         |    SELECT least(pu.p, pv.p) AS cu, greatest(pu.p, pv.p) AS cv,
+         |      e.pri, e.src, e.dst, e.weight,
+         |      row_number() OVER (PARTITION BY least(pu.p, pv.p), greatest(pu.p, pv.p)
+         |        ORDER BY e.pri, e.src, e.dst) AS rn
+         |    FROM ce${r - 1} e JOIN p${r}j$jumps pu ON pu.c = e.cu
+         |      JOIN p${r}j$jumps pv ON pv.c = e.cv
+         |    WHERE pu.p <> pv.p)
+         |  WHERE rn = 1)""".stripMargin
+    }
+    val forest = (1 to rounds).map(r => s"SELECT src, dst, weight FROM ch$r")
+      .mkString(" UNION ALL ")
+    ((ce0 +: rs) :+
+      s"forest AS (SELECT DISTINCT src, dst, weight FROM ($forest))")
+      .mkString(",\n ")
+  }
+
   /** Unrolled greedy b-MATCHING rounds over the canonical `cpf` edge CTE
     * ([[graft.algos.Matching.runB]]'s b-suitor-style rule, value-for-value
     * 60-bit md5-prefix priorities): an edge is accepted when its priority
@@ -660,6 +710,58 @@ object OracleSql {
          |FROM reach r1 JOIN reach r2 ON r1.u = r2.v AND r1.v = r2.u
          |GROUP BY r1.u ORDER BY id""".stripMargin,
 
+    // directed dyad census + reciprocity + transitivity on the scc
+    // digraph, all exact integers / exact rationals
+    "digraph_profile" ->
+      s"""WITH cp AS MATERIALIZED ($CP),
+         | e AS MATERIALIZED (SELECT src, dst FROM cp WHERE weight >= 2
+         |       UNION SELECT dst, src FROM cp WHERE weight >= 3),
+         | base AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+         | mut AS (SELECT CAST(count(*) AS BIGINT) AS m_mut FROM e a
+         |   WHERE EXISTS (SELECT 1 FROM e b WHERE b.src = a.dst AND b.dst = a.src)),
+         | u AS MATERIALIZED (SELECT src, dst FROM (
+         |       SELECT src, dst FROM e UNION SELECT dst, src FROM e)
+         |       WHERE src <> dst),
+         | d AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg FROM u GROUP BY 1),
+         | ds AS (SELECT CAST(count(*) AS BIGINT) AS n_vertices,
+         |   CAST(sum((deg*(deg-1))//2) AS BIGINT) AS wedges FROM d),
+         | o AS MATERIALIZED (SELECT src, dst FROM u WHERE src < dst),
+         | tri AS (SELECT CAST(count(*) AS BIGINT) AS triangles
+         |   FROM o e1 JOIN o e2 ON e1.dst = e2.src
+         |   JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+         |SELECT n_vertices, m AS m_edges,
+         |  CAST(m_mut // 2 AS BIGINT) AS mutual_pairs,
+         |  CAST(m - m_mut AS BIGINT) AS asym_pairs,
+         |  m_mut AS recip_num, m AS recip_den,
+         |  triangles, wedges,
+         |  CAST(3 * triangles AS BIGINT) AS trans_num,
+         |  wedges AS trans_den
+         |FROM base, mut, ds, tri ORDER BY n_vertices""".stripMargin,
+
+    // truncated Katz: per-length directed walk counts on the weight≥2 DAG
+    // plus the beta=4 attenuated numerator — exact integers throughout
+    "katz4" -> {
+      val lvls = (1 to 4).map { l =>
+        s"""n$l AS MATERIALIZED (SELECT e.dst AS id, CAST(sum(n.w) AS BIGINT) AS w
+           |   FROM e JOIN n${l - 1} n ON n.id = e.src GROUP BY 1)""".stripMargin
+      }.mkString(",\n ")
+      s"""WITH cp AS MATERIALIZED ($CP),
+         | e AS MATERIALIZED (SELECT src, dst FROM cp WHERE weight >= 2),
+         | v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         | n0 AS (SELECT id, CAST(1 AS BIGINT) AS w FROM v),
+         | $lvls
+         |SELECT v.id,
+         |  CAST(coalesce(n1.w, 0) AS BIGINT) AS walks1,
+         |  CAST(coalesce(n2.w, 0) AS BIGINT) AS walks2,
+         |  CAST(coalesce(n3.w, 0) AS BIGINT) AS walks3,
+         |  CAST(coalesce(n4.w, 0) AS BIGINT) AS walks4,
+         |  CAST(64*coalesce(n1.w,0) + 16*coalesce(n2.w,0)
+         |     + 4*coalesce(n3.w,0) + coalesce(n4.w,0) AS BIGINT) AS katz_num
+         |FROM v LEFT JOIN n1 ON n1.id = v.id LEFT JOIN n2 ON n2.id = v.id
+         |LEFT JOIN n3 ON n3.id = v.id LEFT JOIN n4 ON n4.id = v.id
+         |ORDER BY v.id""".stripMargin
+    },
+
     // k-truss (k=3) on the weight≥2 oriented simple graph, over-unrolled
     // peel (ConvergenceProbe: 2 rounds at sf0.01 and sf0.1; 5 = margin)
     "ktruss3" ->
@@ -881,6 +983,15 @@ object OracleSql {
          | ${matchWRounds(14)}
          |SELECT src, dst, weight FROM allw ORDER BY src, dst""".stripMargin,
 
+    // Borůvka minimum spanning forest on the weight≥2 graph: unique MSF
+    // under the packed distinct priorities, over-unrolled 8 rounds × 8
+    // jumps (measured 4/4 at sf0.01, 3/3 at sf0.1 — MsfRoundsProbe)
+    "msf" ->
+      s"""WITH cp AS MATERIALIZED ($CP),
+         | cpfw AS (SELECT src, dst, CAST(weight AS BIGINT) AS weight FROM cp WHERE weight >= 2),
+         | ${msfRounds(8, 8)}
+         |SELECT src, dst, weight FROM forest ORDER BY src, dst""".stripMargin,
+
     // weighted truncated harmonic centrality (min-plus, integral weights
     // keep the micro-unit scores exact)
     "harmonic_w8" ->
@@ -966,6 +1077,35 @@ object OracleSql {
          |  FROM s a JOIN s b ON a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3),
          |$JaccTail
          |${jaccSelect("JOIN cand c ON i.doc1 = c.doc1 AND i.doc2 = c.doc2")}""".stripMargin,
+
+    // per-doc top-3 TF·IDF terms; idf = (N·10⁶)//df integer micro-units
+    // (DuckDB `//` floor ≡ Spark `div` truncation on non-negatives)
+    "tfidf_top3" ->
+      s"""WITH $TOKS,
+         | tk AS (SELECT doc_id, unnest(ts) AS term FROM toks),
+         | tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tk GROUP BY 1, 2),
+         | df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         | nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         | sc AS (SELECT t.doc_id, t.term, t.tf, d.df,
+         |   CAST(t.tf * ((nd.n_docs * 1000000) // d.df) AS BIGINT) AS score_micro
+         |   FROM tf t JOIN df d ON t.term = d.term, nd),
+         | r AS (SELECT doc_id, term, tf, df, score_micro,
+         |   CAST(row_number() OVER (PARTITION BY doc_id
+         |     ORDER BY score_micro DESC, term) AS BIGINT) AS rank FROM sc)
+         |SELECT doc_id, rank, term, tf, df, score_micro
+         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // deterministic md5 train/valid/test split — 60-bit md5 prefix of the
+    // stringified id mod 10 (the md5Prio twin), 8/1/1
+    "doc_split" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10 AS BIGINT) AS bucket
+        |  FROM documents)
+        |SELECT doc_id, lang, bucket,
+        |  CASE WHEN bucket < 8 THEN 'train'
+        |       WHEN bucket < 9 THEN 'valid' ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
 
     "text_stats" ->
       s"""WITH $TOKS,

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.algos.{Betweenness, Community, ConnectedComponents, KCore, LabelPropagation, LinkPrediction, Hits, PageRank, Paths, TriangleCount, Walks}
+import graft.algos.{Betweenness, Community, ConnectedComponents, KCore, Katz, LabelPropagation, LinkPrediction, Hits, Msf, PageRank, Paths, TriangleCount, Walks}
 import graft.ann.Similarity
 import graft.corpus.CorpusGen
 import graft.dedup.Dedup
@@ -362,6 +362,20 @@ object Queries {
         .orderBy(col("cnt").desc, col("gram"))
         .limit(50)),
 
+    // --- per-doc top-3 TF·IDF terms: idf as the integer micro-unit
+    // inverse-df ratio (no float log crosses the gate — the link_pred
+    // RA-over-Adamic-Adar reasoning) ---------------------------------------
+    "tfidf_top3" -> ((s, dir) =>
+      TextOps.tfIdfTop(docs(s, dir), 3).orderBy("doc_id", "rank")),
+
+    // --- deterministic md5 train/valid/test split (8/1/1): per-row, no
+    // shuffle, stable under corpus growth — the reproducible-split
+    // primitive every training pipeline needs ------------------------------
+    "doc_split" -> ((s, dir) =>
+      TextOps.hashSplit(docs(s, dir))
+        .select("doc_id", "lang", "bucket", "split")
+        .orderBy("doc_id")),
+
     // --- text analysis -----------------------------------------------------
     "text_stats" -> ((s, dir) =>
       TextOps.textStats(docs(s, dir)).orderBy("doc_id")),
@@ -502,6 +516,33 @@ object Queries {
             .select("src", "dst"))
         .orderBy(col("ra_micro").desc, col("cn").desc, col("u"), col("v"))
         .limit(100)),
+
+    // --- directed dyad census: reciprocity + transitivity as exact
+    // rationals on the scc digraph (the one graph in the family with
+    // reciprocated edges — the pure src<dst orientation has none) ---------
+    "digraph_profile" -> ((s, dir) => {
+      val cp = TestGraphs.copurchase(s, dir)
+      val dg = cp.where(col("weight") >= 2).select("src", "dst")
+        .unionByName(cp.where(col("weight") >= 3)
+          .select(col("dst").as("src"), col("src").as("dst")))
+      GraphOps.digraphProfile(dg).orderBy("n_vertices")
+    }),
+
+    // --- truncated Katz centrality on the weight≥2 DAG (src<dst ⇒
+    // acyclic): per-length walk counts + beta-attenuated numerator, all
+    // exact integers (the hits4 unnormalized discipline) -------------------
+    "katz4" -> ((s, dir) =>
+      Katz.truncated(TestGraphs.copurchase(s, dir).where(col("weight") >= 2)
+        .select("src", "dst"), 4)
+        .orderBy("id")),
+
+    // --- Borůvka minimum spanning forest of the weight≥2 co-purchase
+    // graph; md5-packed distinct priorities make the MSF unique, so the
+    // over-unrolled DuckDB Borůvka must reproduce the exact edge set ------
+    "msf" -> ((s, dir) =>
+      Msf.run(s, TestGraphs.copurchase(s, dir).where(col("weight") >= 2),
+        s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+        .orderBy("src", "dst")),
 
     // --- strongly connected components (A: directed companion to cc) on
     // the directed graph: weight≥2 co-purchase edges forward plus weight≥3

@@ -1,0 +1,60 @@
+package graft.algos
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.engine.Lineage
+
+/** Truncated Katz centrality (Katz, Psychometrika 18(1), 1953) in its
+  * EXACT-INTEGER form: with walk counts n_l(v) = #directed walks of length
+  * exactly l ending at v (n_0 ≡ 1 everywhere), the truncated Katz score
+  * with attenuation α = 1/beta is
+  *
+  *   katz(v) = Σ_{l=1..k} α^l · n_l(v)
+  *           = ( Σ_{l=1..k} beta^(k−l) · n_l(v) ) / beta^k.
+  *
+  * The NUMERATOR is an exact integer — sums of walk counts scaled by
+  * integer powers — so the whole trajectory crosses the Spark↔DuckDB gate
+  * bit-exactly, the [[Hits]] unnormalized-fixed-k discipline (rankings are
+  * identical to the float spelling: the denominator is one positive
+  * constant). Per-length counts are also returned; they are the raw basis
+  * a caller can re-attenuate without re-running the engine.
+  *
+  * Overflow budget: walk counts multiply by ≤ max-indegree per level, so
+  * callers pick k against BIGINT just as Hits does (k=4 measured 5+ digits
+  * under the ceiling on every test graph; DAG inputs are strictly tamer
+  * than Hits' bipartite products).
+  *
+  * Scale shape: one co-partitioned join+sum per level over the fixed edge
+  * layout, shuffling |V| count rows — the PageRank superstep shape with a
+  * constant number of rounds and map-side partial sums.
+  */
+object Katz {
+
+  /** `edges`: directed (src, dst), deduplicated upstream. Returns one row
+    * per vertex: (id, walks1..walksk, katz_num) with
+    * katz_num = Σ beta^(k−l)·walks_l. Vertices with no incoming walks of
+    * any length report zeros (left join against the vertex universe).
+    */
+  def truncated(edges: DataFrame, k: Int, beta: Long = 4L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val e = edges.select("src", "dst").transform(Lineage.cut(_, eager = true))
+    val v = graft.graph.GraphOps.vertices(e)
+    var n = v.select(col("id"), lit(1L).as("w"))
+    val perLevel = (1 to k).map { l =>
+      n = e.join(n.withColumnRenamed("id", "src").withColumnRenamed("w", "pw"),
+          "src")
+        .groupBy(col("dst").as("id")).agg(sum(col("pw")).as("w"))
+        .transform(Lineage.cut(_, eager = true))
+      n.withColumnRenamed("w", s"walks$l")
+    }
+    val joined = perLevel.foldLeft(v)((acc, lvl) =>
+      acc.join(lvl, Seq("id"), "left_outer"))
+    val filled = (1 to k).foldLeft(joined)((acc, l) =>
+      acc.withColumn(s"walks$l", coalesce(col(s"walks$l"), lit(0L))))
+    val katz = (1 to k).map(l =>
+      col(s"walks$l") * lit(math.pow(beta.toDouble, (k - l).toDouble).toLong))
+      .reduce(_ + _)
+    filled.withColumn("katz_num", katz)
+  }
+}

@@ -148,6 +148,54 @@ object GraphOps {
           .as("assort_den"))
   }
 
+  /** One-row dyad census + reciprocity + global transitivity of a DIRECTED
+    * graph (input: directed (src, dst); self-loops dropped, duplicates
+    * deduped here). Reports, all as exact integers / exact rationals so the
+    * gate is a hard compare:
+    *
+    *  - `m_edges`        — directed simple edge count
+    *  - `mutual_pairs`   — unordered pairs {u,v} with BOTH directions
+    *    present (Holland–Leinhardt dyad census M; Am. J. Sociol. 76, 1970)
+    *  - `asym_pairs`     — pairs with exactly one direction (census A)
+    *  - `recip_num/den`  — edge reciprocity r = (#reciprocated directed
+    *    edges)/m as the rational (2·mutual, m)
+    *  - `triangles`, `wedges`, `trans_num/den` — global transitivity
+    *    3·△/Σ C(d,2) of the UNDERLYING undirected simple graph as the
+    *    rational (3·triangles, wedges)
+    *
+    * Scale shape: reciprocity is one self-semi-join of the edge set against
+    * its reverse (shuffle on (src, dst), map-side combinable count);
+    * transitivity reuses [[graft.algos.TriangleCount.count]]'s degree-
+    * oriented wedge plan; everything meets in broadcast one-row cross
+    * joins — no driver collect.
+    */
+  def digraphProfile(edges: DataFrame): DataFrame = {
+    val e = edges.select("src", "dst").where(col("src") =!= col("dst"))
+      .distinct().localCheckpoint(true)
+    val rev = e.select(col("dst").as("src"), col("src").as("dst"))
+    val base = e.agg(count(lit(1)).as("m"))
+    val mut = e.join(rev, Seq("src", "dst"), "left_semi")
+      .agg(count(lit(1)).as("m_mut"))
+    val und = symmetrize(e)
+    val deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val dstats = deg.agg(
+      count(lit(1)).as("n_vertices"),
+      sum(expr("(deg * (deg - 1)) div 2")).as("wedges"))
+    val tri = graft.algos.TriangleCount.count(und)
+    base.crossJoin(broadcast(mut)).crossJoin(broadcast(dstats))
+      .crossJoin(broadcast(tri))
+      .select(col("n_vertices").cast("long").as("n_vertices"),
+        col("m").cast("long").as("m_edges"),
+        (col("m_mut") / 2).cast("long").as("mutual_pairs"),
+        (col("m") - col("m_mut")).cast("long").as("asym_pairs"),
+        col("m_mut").cast("long").as("recip_num"),
+        col("m").cast("long").as("recip_den"),
+        col("triangles").cast("long").as("triangles"),
+        col("wedges").cast("long").as("wedges"),
+        (col("triangles") * 3).cast("long").as("trans_num"),
+        col("wedges").cast("long").as("trans_den"))
+  }
+
   /** G2 — dense id assignment 0..V-1 by global sort order, scale-safe:
     * range-repartition + in-partition sort, per-partition counts collected
     * once (tiny), then offset + local rank inside `mapPartitions`. The

@@ -146,6 +146,70 @@ object TextOps {
         s"regexp_extract_all($textCol, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]', 0)"))
         .cast("long").as("bpe_tokens"))
 
+  // --- TF-IDF term ranking ---------------------------------------------------
+
+  /** Per-document top-k terms by TF·IDF, scored in EXACT INTEGERS so the
+    * ranking crosses the Spark↔DuckDB gate bit-exactly: the idf factor is
+    * the inverse document-frequency RATIO in micro-units,
+    * `idf_micro = (N · 1000000) div df` (floored integer division —
+    * identical in Spark `div` and DuckDB `//` for non-negative operands),
+    * and `score_micro = tf · idf_micro`. The log-idf spelling would rank
+    * identically per document for fixed tf (log is monotone in N/df) but
+    * cannot cross the oracle without float noise — the same reasoning that
+    * picked Resource Allocation over Adamic–Adar in
+    * [[graft.algos.LinkPrediction]].
+    *
+    * Scale shape: tf is one (doc, term) count over non-distinct tokens
+    * (map-side combinable); df is one distinct count shuffled on term;
+    * the corpus size N rides a broadcast one-row cross join; the top-k
+    * is a row_number window partitioned by doc_id — per-partition state
+    * is one doc's term list, never the corpus.
+    */
+  def tfIdfTop(docs: DataFrame, k: Int, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("score_micro",
+        col("tf") * expr("(n_docs * 1000000L) div df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score_micro").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"),
+        col("df"), col("score_micro"))
+  }
+
+  // --- deterministic corpus splitting ---------------------------------------
+
+  /** Deterministic hash split — the train/valid/test assignment a training
+    * pipeline must make reproducibly across engines and re-runs: bucket =
+    * 60-bit md5 prefix of the STRINGIFIED id, mod `buckets`
+    * ([[graft.graph.GraphOps.md5Prio]] twin discipline — DuckDB:
+    * `('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))::BIGINT`). Purely
+    * per-row (no shuffle at all — survives any scale), stable under
+    * corpus growth (a doc's split never changes when other docs arrive),
+    * and stratification-free by construction: within any stratum the
+    * md5 buckets are uniform.
+    *
+    * Returns the input plus (bucket, split) where split = "train" for
+    * bucket < trainUpto, "valid" for bucket < validUpto, else "test".
+    */
+  def hashSplit(docs: DataFrame, idCol: String = "doc_id",
+                buckets: Int = 10, trainUpto: Int = 8,
+                validUpto: Int = 9): DataFrame =
+    docs.withColumn("bucket",
+        pmod(conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+          .cast("long"), lit(buckets.toLong)))
+      .withColumn("split",
+        when(col("bucket") < trainUpto, "train")
+          .when(col("bucket") < validUpto, "valid")
+          .otherwise("test"))
+
   // --- fingerprinting ------------------------------------------------------
 
   /** k-min sketch fingerprint: the k lexicographically smallest md5 digests

@@ -340,6 +340,35 @@ object Oracles {
     res
   }
 
+  /** Sequential Kruskal MSF with the engine's packed
+    * (weight << 40 | 40-bit md5-prefix) DISTINCT priorities — with unique
+    * weights the MSF is unique, so this is an exact-equality reference for
+    * [[graft.algos.Msf]] (a deliberately different algorithm: sorted
+    * union-find vs round-parallel Borůvka).
+    */
+  def bruteKruskal(edges: Seq[(Long, Long, Long)]): Set[(Long, Long, Long)] = {
+    val canon = edges.flatMap { case (a, b, w) =>
+      if (a == b) Nil else Seq((math.min(a, b), math.max(a, b)) -> w)
+    }.groupBy(_._1).map { case ((a, b), ws) => (a, b, ws.map(_._2).min) }
+      .toSeq
+    def pri(e: (Long, Long, Long)): (Long, Long, Long) =
+      ((e._3 << 40) +
+        java.lang.Long.parseLong(md5hex(s"${e._1}:${e._2}").substring(0, 10), 16),
+        e._1, e._2)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = parent.getOrElseUpdate(x, x)
+      while (parent(r) != r) r = parent(r)
+      r
+    }
+    var res = Set.empty[(Long, Long, Long)]
+    for (e <- canon.sortBy(pri)) {
+      val (ra, rb) = (find(e._1), find(e._2))
+      if (ra != rb) { parent(math.max(ra, rb)) = math.min(ra, rb); res += e }
+    }
+    res
+  }
+
   /** Seeded random simple directed graph. */
   def randomGraph(seed: Int, n: Int, m: Int): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(seed)
