@@ -387,6 +387,34 @@ object OracleSql {
     (head +: rs).mkString(",\n ")
   }
 
+  /** Unrolled FULL core decomposition over a symmetrized edge CTE named
+    * `cpf` ([[graft.algos.KCore.coreness]] twin): `levels` unrolled k
+    * levels, each peeling the PREVIOUS level's fixpoint edge set with
+    * `rounds` unrolled rounds. Per-level survivors record coreness = k;
+    * final coreness = max level survived. Safe to over-unroll BOTH axes
+    * provided `rounds` ≥ every level's true peel length (measured max 9 at
+    * sf0.01, 7 at sf0.1 — CorenessProbe; 18 = 2× margin): then each level
+    * starts from a true fixpoint and levels past the max core are empty.
+    */
+  private def corenessRounds(levels: Int, rounds: Int): String = {
+    val head =
+      "c0f AS MATERIALIZED (SELECT src, dst FROM cpf UNION SELECT dst, src FROM cpf)"
+    val lvls = (1 to levels).map { k =>
+      val rs = (1 to rounds).map { j =>
+        val prev = if (j == 1) s"c${k - 1}f" else s"c${k}r${j - 1}"
+        s"""ck${k}r$j AS MATERIALIZED (SELECT src AS id FROM $prev GROUP BY 1 HAVING count(*) >= $k),
+           | c${k}r$j AS MATERIALIZED (SELECT e.src, e.dst FROM $prev e
+           |   JOIN ck${k}r$j a ON e.src = a.id JOIN ck${k}r$j b ON e.dst = b.id)""".stripMargin
+      }.mkString(",\n ")
+      s"""$rs,
+         | c${k}f AS MATERIALIZED (SELECT src, dst FROM c${k}r$rounds),
+         | sv$k AS (SELECT DISTINCT src AS id, $k AS coreness FROM c${k}f)""".stripMargin
+    }
+    val union = (1 to levels).map(k => s"SELECT id, coreness FROM sv$k")
+      .mkString(" UNION ALL ")
+    ((head +: lvls) :+ s"allcore AS ($union)").mkString(",\n ")
+  }
+
   /** 16-bit md5 simhash: vote and bit-assembly expressions, fully
     * parenthesized (engine precedence safety).
     */
@@ -539,6 +567,16 @@ object OracleSql {
          | cpf AS (SELECT src, dst FROM cp WHERE weight >= 2),
          | ${kcoreRounds(3, 5)}
          |SELECT src AS id, CAST(count(*) AS BIGINT) AS deg FROM e5 GROUP BY 1 ORDER BY id""".stripMargin,
+
+    // full core decomposition: 5 unrolled levels (max core 3 measured at
+    // sf0.01, 2 at sf0.1) × 18 unrolled peel rounds each (max 9 measured —
+    // CorenessProbe); coreness = max level survived, exact integers
+    "coreness" ->
+      s"""WITH cp AS ($CP),
+         | cpf AS (SELECT src, dst FROM cp WHERE weight >= 2),
+         | ${corenessRounds(5, 18)}
+         |SELECT id, CAST(max(coreness) AS BIGINT) AS coreness
+         |FROM allcore GROUP BY id ORDER BY id""".stripMargin,
 
     "cc" ->
       s"""WITH RECURSIVE cp AS ($CP),
@@ -1106,6 +1144,27 @@ object OracleSql {
         |  CASE WHEN bucket < 8 THEN 'train'
         |       WHEN bucket < 9 THEN 'valid' ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    // train↔test contamination: distinct shared 8-grams per (test, train)
+    // doc pair across the md5 hash split; hot-shingle cap df≤100 mirrored
+    "contamination8" -> {
+      val sh8 = shCte(8)
+      s"""WITH $TOKS,
+         | $sh8,
+         | sp AS (SELECT doc_id,
+         |   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10 AS bucket
+         |   FROM documents),
+         | tr AS MATERIALIZED (SELECT s.doc_id AS train_doc, s.shingle
+         |   FROM sh s JOIN sp ON sp.doc_id = s.doc_id WHERE sp.bucket < 8),
+         | te AS MATERIALIZED (SELECT s.doc_id AS test_doc, s.shingle
+         |   FROM sh s JOIN sp ON sp.doc_id = s.doc_id WHERE sp.bucket >= 9),
+         | kept AS (SELECT shingle FROM tr GROUP BY 1 HAVING count(*) <= 100),
+         | trk AS (SELECT train_doc, shingle FROM tr
+         |   WHERE shingle IN (SELECT shingle FROM kept))
+         |SELECT te.test_doc, trk.train_doc, CAST(count(*) AS BIGINT) AS shared_ngrams
+         |FROM te JOIN trk ON te.shingle = trk.shingle
+         |GROUP BY 1, 2 ORDER BY test_doc, train_doc""".stripMargin
+    },
 
     "text_stats" ->
       s"""WITH $TOKS,

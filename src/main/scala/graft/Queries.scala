@@ -376,6 +376,13 @@ object Queries {
         .select("doc_id", "lang", "bucket", "split")
         .orderBy("doc_id")),
 
+    // --- benchmark-contamination check across the md5 split: distinct
+    // shared 8-grams per (test doc, train doc) candidate pair; hot-shingle
+    // cap df≤100 (deterministic, mirrored in the oracle) -------------------
+    "contamination8" -> ((s, dir) =>
+      TextOps.contamination(docs(s, dir), 8, 100L)
+        .orderBy("test_doc", "train_doc")),
+
     // --- text analysis -----------------------------------------------------
     "text_stats" -> ((s, dir) =>
       TextOps.textStats(docs(s, dir)).orderBy("doc_id")),
@@ -534,6 +541,14 @@ object Queries {
     "katz4" -> ((s, dir) =>
       Katz.truncated(TestGraphs.copurchase(s, dir).where(col("weight") >= 2)
         .select("src", "dst"), 4)
+        .orderBy("id")),
+
+    // --- full core decomposition: coreness(v) = max k with v ∈ k-core;
+    // level-synchronous peeling, each level reusing the previous level's
+    // fixpoint edge set -----------------------------------------------------
+    "coreness" -> ((s, dir) =>
+      KCore.coreness(TestGraphs.copurchase(s, dir).where(col("weight") >= 2)
+        .select("src", "dst"))._1
         .orderBy("id")),
 
     // --- Borůvka minimum spanning forest of the weight≥2 co-purchase

@@ -67,4 +67,66 @@ object KCore {
     }
     (e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg")), r)
   }
+
+  /** Full core DECOMPOSITION — coreness(v) = max k with v ∈ k-core
+    * (Seidman, Social Networks 5, 1983; the distributed peel is
+    * Montresor/De Pellegrini/Miorandi-style level-synchronous peeling):
+    * peel to the 1-core fixpoint, record survivors at level 1, peel the
+    * SAME surviving subgraph to the 2-core, record, … until the k-core
+    * empties. Coreness is then max level survived — one max-agg over the
+    * per-level survivor union. Exact integers throughout; the k levels
+    * and per-level rounds are both fixpoints, so the DuckDB twin
+    * over-unrolls BOTH axes safely (extra levels/rounds past the fixpoint
+    * are no-ops / empty).
+    *
+    * Each level reuses the previous level's surviving edge set (never
+    * restarts from the full graph), so total work is Σ_k |E_k| — the
+    * sequential-peel bound, parallelized per round. One driver action per
+    * peel round ([[converged]]'s count-materializes discipline).
+    *
+    * Returns ((id, coreness) for every non-isolated vertex, max coreness,
+    * per-level peel round counts — the last level is the empty-k-core
+    * check).
+    */
+  def coreness(edges: DataFrame, maxK: Int = 64): (DataFrame, Int, Seq[Int]) = {
+    var e = GraphOps.symmetrize(edges).transform(Lineage.cut(_, eager = true))
+    var n = e.count()
+    val spark = edges.sparkSession
+    var levels = spark.range(0)
+      .select(col("id"), col("id").as("coreness"))
+    var k = 0
+    val perLevel = scala.collection.mutable.ArrayBuffer.empty[Int]
+    while (n > 0) {
+      k += 1
+      if (k > maxK)
+        throw new IllegalStateException(
+          s"coreness exceeded maxK=$maxK — raise the bound")
+      var done = false
+      var lvlRounds = 0
+      while (!done) {
+        lvlRounds += 1
+        val keep = e.groupBy(col("src").as("id"))
+          .agg(count(lit(1)).as("deg"))
+          .where(col("deg") >= k)
+          .select("id")
+        val next = e
+          .join(keep.toDF("src"), Seq("src"), "left_semi")
+          .join(keep.toDF("dst"), Seq("dst"), "left_semi")
+          .select("src", "dst")
+          .transform(Lineage.cut(_))
+        val m = next.count()
+        done = m == n
+        n = m
+        e = next
+      }
+      perLevel += lvlRounds
+      if (n > 0)
+        levels = levels
+          .unionByName(e.select(col("src").as("id")).distinct()
+            .select(col("id"), lit(k.toLong).as("coreness")))
+          .transform(Lineage.cut(_, eager = true))
+    }
+    val out = levels.groupBy("id").agg(max(col("coreness")).as("coreness"))
+    (out, k - 1, perLevel.toSeq)
+  }
 }

@@ -210,6 +210,44 @@ object TextOps {
           .when(col("bucket") < validUpto, "valid")
           .otherwise("test"))
 
+  // --- train/test contamination ----------------------------------------------
+
+  /** Benchmark-contamination detection (the check every pretraining
+    * pipeline runs before publishing eval numbers — e.g. GPT-3 App. C /
+    * Dodge et al. 2021 use exactly this n-gram-overlap definition): for
+    * every (test doc, train doc) pair sharing at least one word `n`-gram,
+    * the count of DISTINCT shared n-grams. Splits come from [[hashSplit]],
+    * so the whole check is deterministic end-to-end.
+    *
+    * Scale shape: the same candidate-pair join as MinHash-LSH bucketing —
+    * two shingle tables joined on the shingle key, grouped on the pair —
+    * never an all-pairs product. `maxTrainDf` is the hot-shingle guard
+    * (boilerplate grams hit thousands of train docs and would quadratically
+    * inflate the pair fan-out): shingles in more than `maxTrainDf` train
+    * docs are dropped DETERMINISTICALLY (both engines apply the same
+    * filter), the LinkPrediction/g_jaccard_capped cap discipline.
+    */
+  def contamination(docs: DataFrame, n: Int = 8, maxTrainDf: Long = 100L,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val split = hashSplit(docs, idCol)
+    val trainSh = shingleRows(
+      split.where(col("split") === "train").select(col(idCol), col(textCol)),
+      idCol, textCol, n)
+      .select(col(idCol).as("train_doc"), col("shingle"))
+    val testSh = shingleRows(
+      split.where(col("split") === "test").select(col(idCol), col(textCol)),
+      idCol, textCol, n)
+      .select(col(idCol).as("test_doc"), col("shingle"))
+    val kept = trainSh.join(
+      trainSh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .where(col("df") <= maxTrainDf).select("shingle"),
+      Seq("shingle"), "left_semi")
+    testSh.join(kept, "shingle")
+      .groupBy("test_doc", "train_doc")
+      .agg(count(lit(1)).as("shared_ngrams"))
+  }
+
   // --- fingerprinting ------------------------------------------------------
 
   /** k-min sketch fingerprint: the k lexicographically smallest md5 digests

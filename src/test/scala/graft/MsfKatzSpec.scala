@@ -119,6 +119,66 @@ class MsfKatzSpec extends SparkSpec {
     assert(got.filter(_._1 == 3L).map(_._3).toSeq === Seq("banana", "cherry"))
   }
 
+  test("KCore.coreness golden: 4-clique + triangle + tail") {
+    // 4-clique {0,1,2,3} (coreness 3), triangle {3,4,5} (4,5 → 2),
+    // pendant 5–6 (6 → 1)
+    val g = Seq[(Long, Long)]((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L),
+      (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L), (3L, 5L), (5L, 6L))
+    val (core, maxK, perLevel) =
+      graft.algos.KCore.coreness(edgesDf(g))
+    val got = collectL(core, "id", "coreness")
+    assert(got === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L,
+      4L -> 2L, 5L -> 2L, 6L -> 1L))
+    assert(maxK === 3)
+    assert(perLevel.length === maxK + 1) // + the empty-core check level
+  }
+
+  test("KCore.coreness ≡ sequential peel on random graphs") {
+    for (seed <- Seq(11, 42)) {
+      val es = Oracles.randomGraph(seed, 40, 160)
+      val exp = Oracles.bruteCoreness(es)
+      val got = collectL(
+        graft.algos.KCore.coreness(edgesDf(es))._1, "id", "coreness")
+      assert(got === exp, s"seed $seed")
+    }
+  }
+
+  test("contamination counts distinct shared n-grams across the md5 split") {
+    val s = spark
+    import s.implicits._
+    // pick ids by their md5Prio bucket so the split is under our control
+    val ids = (0L until 400L)
+    val train = ids.filter(i => Oracles.md5Prio(i.toString) % 10 < 8)
+    val test = ids.filter(i => Oracles.md5Prio(i.toString) % 10 == 9)
+    val trId = train.head
+    val teId = test.head
+    val teId2 = test(1)
+    val shared = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens
+    val docs = Seq(
+      (trId, s"$shared and some extra train words"),
+      (teId, s"prefix words then $shared"),
+      (teId2, "no overlap at all here beyond seven tokens"))
+      .toDF("doc_id", "text")
+    val got = TextOps.contamination(docs, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // exactly one contaminated pair, sharing exactly the one 8-gram
+    assert(got.toSeq === Seq((teId, trId, 1L)))
+  }
+
+  test("contamination hot-shingle cap drops high-df grams deterministically") {
+    val s = spark
+    import s.implicits._
+    val ids = (0L until 400L)
+    val train = ids.filter(i => Oracles.md5Prio(i.toString) % 10 < 8)
+    val test = ids.filter(i => Oracles.md5Prio(i.toString) % 10 == 9)
+    val boiler = "one two three four five six seven eight"
+    val docs = (train.take(3).map(i => (i, boiler)) :+
+      ((test.head, boiler))).toDF("doc_id", "text")
+    // df(gram)=3 in train: cap 2 drops it, cap 3 keeps all 3 pairs
+    assert(TextOps.contamination(docs, 8, maxTrainDf = 2L).count() === 0L)
+    assert(TextOps.contamination(docs, 8, maxTrainDf = 3L).count() === 3L)
+  }
+
   test("hashSplit is the md5Prio bucket and an 8/1/1 rule") {
     val s = spark
     import s.implicits._

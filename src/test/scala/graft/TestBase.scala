@@ -369,6 +369,31 @@ object Oracles {
     res
   }
 
+  /** Sequential core decomposition (peel min-degree vertices, Batagelj–
+    * Zaveršnik style) — independent reference for
+    * [[graft.algos.KCore.coreness]].
+    */
+  def bruteCoreness(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    var und = edges.flatMap { case (a, b) =>
+      if (a == b) Nil else Seq((a, b), (b, a))
+    }.distinct
+    val core = scala.collection.mutable.Map.empty[Long, Long]
+    var k = 0L
+    while (und.nonEmpty) {
+      k += 1
+      var changed = true
+      while (changed) {
+        val deg = und.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+        val keep = deg.filter(_._2 >= k).keySet
+        val next = und.filter { case (a, b) => keep(a) && keep(b) }
+        changed = next.size != und.size
+        und = next
+      }
+      und.map(_._1).distinct.foreach(v => core(v) = k)
+    }
+    core.toMap
+  }
+
   /** Seeded random simple directed graph. */
   def randomGraph(seed: Int, n: Int, m: Int): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(seed)
