@@ -526,6 +526,26 @@ object OracleSql {
     "pr5_blocked" ->
       s"WITH $UND,\n ${prRounds(5)}\nSELECT id, round(pr, 6) AS pr FROM r5 ORDER BY id",
 
+    // weighted PR: shares ∝ edge weight, wout = Σ incident weight
+    "wpr5" -> {
+      val rounds = (1 to 5).map { i =>
+        s"""r$i AS MATERIALIZED (
+           |  SELECT v.id, 0.15 + 0.85 * coalesce(s.mass, 0.0) AS pr
+           |  FROM v LEFT JOIN (
+           |    SELECT we.dst AS id, sum(r.pr * we.w / wd.wout) AS mass
+           |    FROM we JOIN r${i - 1} r ON we.src = r.id JOIN wd ON we.src = wd.id
+           |    GROUP BY we.dst) s ON v.id = s.id)""".stripMargin
+      }.mkString(",\n ")
+      s"""WITH cp AS MATERIALIZED ($CP),
+         | we AS MATERIALIZED (SELECT src, dst, CAST(weight AS DOUBLE) AS w FROM cp
+         |       UNION ALL SELECT dst, src, CAST(weight AS DOUBLE) FROM cp),
+         | v AS MATERIALIZED (SELECT src AS id FROM we UNION SELECT dst FROM we),
+         | wd AS MATERIALIZED (SELECT src AS id, sum(w) AS wout FROM we GROUP BY 1),
+         | r0 AS MATERIALIZED (SELECT id, 1.0 AS pr FROM v),
+         | $rounds
+         |SELECT id, round(pr, 6) AS pr FROM r5 ORDER BY id""".stripMargin
+    },
+
     // same trajectory as pr5, forced through the 2D grid kernel
     "pr5_grid" ->
       s"WITH $UND,\n ${prRounds(5)}\nSELECT id, round(pr, 6) AS pr FROM r5 ORDER BY id",

@@ -89,6 +89,20 @@ object Queries {
         .where(col("pr").isNotNull)
         .orderBy("id")),
 
+    // --- weighted PR: scatter shares ∝ edge weight over the symmetrized
+    // weighted graph (completes the weighted companion set: wlp5,
+    // harmonic_w8, matching_w, diameter_w2sweep) ---------------------------
+    "wpr5" -> ((s, dir) => {
+      val cp = TestGraphs.copurchase(s, dir)
+      val we = cp.select(col("src"), col("dst"), col("weight"))
+        .unionByName(cp.select(col("dst").as("src"), col("src").as("dst"),
+          col("weight")))
+      PageRank.weightedFixedIterations(we, 5)
+        .select(col("id"), round(col("rank"), 6).as("pr"))
+        .where(col("pr").isNotNull)
+        .orderBy("id")
+    }),
+
     "pr_top20" -> ((s, dir) =>
       PageRank.fixedIterations(und(s, dir), 5)
         .select(col("id"), round(col("rank"), 6).as("pr"))

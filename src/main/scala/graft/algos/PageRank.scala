@@ -243,4 +243,34 @@ object PageRank {
     }
     rank
   }
+
+  /** WEIGHTED fixed-k PageRank — scatter shares proportional to edge
+    * weight: mass(v) = Σ_{(u,v)} rank(u)·w(u,v)/wout(u), with
+    * wout(u) = Σ_{(u,·)} w (the standard weighted-PR generalization; the
+    * wlp5/harmonic_w8 "weighted companion" discipline). Same
+    * lazily-composed plan shape as [[fixedIterations]]: one edges⋈rank
+    * join + one dst-keyed sum per round, map-side partial aggregation,
+    * the weight-share division fused into the scatter projection — no
+    * extra shuffle over the unweighted plan (wout rides the same
+    * broadcast-or-shuffle join outdeg did).
+    */
+  def weightedFixedIterations(edges: DataFrame, k: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"),
+      col("weight").cast("double").as("w"))
+    val out = e.groupBy("src").agg(sum(col("w")).as("wout"))
+    val verts = GraphOps.vertices(e)
+    val eDeg = e.join(out, "src")
+    var rank = verts.select(col("id"), lit(1.0).as("rank"))
+    for (_ <- 1 to k) {
+      val msgs = eDeg.join(rank.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"),
+          (col("rank") * col("w") / col("wout")).as("m"))
+        .groupBy("id").agg(sum(col("m")).as("mass"))
+      rank = verts.join(msgs, Seq("id"), "left_outer")
+        .select(col("id"),
+          (lit(Teleport) +
+            lit(Damping) * coalesce(col("mass"), lit(0.0))).as("rank"))
+    }
+    rank
+  }
 }

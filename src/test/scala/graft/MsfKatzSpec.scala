@@ -179,6 +179,30 @@ class MsfKatzSpec extends SparkSpec {
     assert(TextOps.contamination(docs, 8, maxTrainDf = 3L).count() === 3L)
   }
 
+  test("weightedFixedIterations with unit weights ≡ unweighted PR") {
+    val pairs = Oracles.randomGraph(5, 20, 60)
+    val unw = graft.algos.PageRank.fixedIterations(edgesDf(pairs), 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val w = graft.algos.PageRank.weightedFixedIterations(
+      edgesWDf(pairs.map(p => (p._1, p._2, 1.0))), 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w.keySet === unw.keySet)
+    w.foreach { case (id, r) =>
+      assert(math.abs(r - unw(id)) < 1e-12, s"vertex $id")
+    }
+  }
+
+  test("weightedFixedIterations golden: weight-proportional shares") {
+    // 0 scatters to 1 (w=3) and 2 (w=1): after 1 iter from rank 1.0,
+    // mass(1)=0.75, mass(2)=0.25 (sinks keep nothing else)
+    val g = edgesWDf(Seq((0L, 1L, 3.0), (0L, 2L, 1.0)))
+    val got = graft.algos.PageRank.weightedFixedIterations(g, 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got(0L) - 0.15) < 1e-12)
+    assert(math.abs(got(1L) - (0.15 + 0.85 * 0.75)) < 1e-12)
+    assert(math.abs(got(2L) - (0.15 + 0.85 * 0.25)) < 1e-12)
+  }
+
   test("hashSplit is the md5Prio bucket and an 8/1/1 rule") {
     val s = spark
     import s.implicits._
