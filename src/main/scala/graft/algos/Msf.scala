@@ -89,14 +89,24 @@ object Msf {
         throw new IllegalStateException(
           s"Borůvka MSF did not converge in $maxRounds rounds")
       rounds += 1
-      // 1. per-component min incident edge over the doubled view
+      // 1. per-component min incident edge over the doubled view — TWO
+      // phases so the full-edge-set aggregate stays on the HashAggregate
+      // path (a single min_by over a struct ordering key has a struct
+      // buffer → SortAggregate over |E| rows per round, the VERDICT-r4
+      // MIS/matching defect): (a) min LONG priority per component (hash
+      // agg, map-side combinable), (b) join-back fetches the achieving
+      // edge; 40-bit md5-collision ties (≈|E|²/2^41 pairs) fall through to
+      // a struct-min over the ≤2-row residue per component, matching the
+      // DuckDB (pri, src, dst) total order
       val byC = ce.select(col("cu").as("c"), col("cv").as("t"),
           col("pri"), col("src"), col("dst"), col("weight"))
         .unionByName(ce.select(col("cv").as("c"), col("cu").as("t"),
           col("pri"), col("src"), col("dst"), col("weight")))
-      val chosen = byC.groupBy("c")
-        .agg(min_by(struct(col("t"), col("src"), col("dst"), col("weight")),
-          struct(col("pri"), col("src"), col("dst"))).as("m"))
+      val mp = byC.groupBy("c").agg(min(col("pri")).as("pri"))
+      val chosen = byC.join(mp, Seq("c", "pri"), "left_semi")
+        .groupBy("c")
+        .agg(min(struct(col("src"), col("dst"), col("t"),
+          col("weight"))).as("m"))
         .select(col("c"), col("m.t").as("t"), col("m.src").as("src"),
           col("m.dst").as("dst"), col("m.weight").as("weight"))
         .transform(Lineage.cut(_, eager = true))
@@ -133,17 +143,21 @@ object Msf {
       jumpTotal += jr
       maxJump = math.max(maxJump, jr)
       // 4. contract: re-key edges to root components, keep only the
-      // min-priority edge per component pair (the sole MSF candidate)
-      ce = ce
+      // min-priority edge per component pair (the sole MSF candidate) —
+      // same two-phase argmin (hash-agg LONG min + join-back + tiny
+      // struct-min tie residue)
+      val rekeyed = ce
         .join(par.select(col("c").as("cu"), col("p").as("nu")), "cu")
         .join(par.select(col("c").as("cv"), col("p").as("nv")), "cv")
         .where(col("nu") =!= col("nv"))
         .select(least(col("nu"), col("nv")).as("cu"),
           greatest(col("nu"), col("nv")).as("cv"),
           col("pri"), col("src"), col("dst"), col("weight"))
+      val pmin = rekeyed.groupBy("cu", "cv").agg(min(col("pri")).as("pri"))
+      ce = rekeyed.join(pmin, Seq("cu", "cv", "pri"), "left_semi")
         .groupBy("cu", "cv")
-        .agg(min(struct(col("pri"), col("src"), col("dst"),
-          col("weight"))).as("m"))
+        .agg(min(struct(col("src"), col("dst"), col("weight"),
+          col("pri"))).as("m"))
         .select(col("cu"), col("cv"), col("m.pri").as("pri"),
           col("m.src").as("src"), col("m.dst").as("dst"),
           col("m.weight").as("weight"))
