@@ -387,6 +387,20 @@ object OracleSql {
     (head +: rs).mkString(",\n ")
   }
 
+  /** Unrolled WEIGHTED k-core (s-core) peeling over the weighted directed
+    * CTE `cp` (src < dst, integral weight): symmetrize with UNION ALL
+    * (weights preserved; cp is already distinct on the pair), peel on
+    * sum(weight) >= s. [[graft.algos.KCore.peelWeighted]] twin.
+    */
+  private def wkcoreRounds(s: Int, rounds: Int): String = {
+    val head = "e0 AS MATERIALIZED (SELECT src, dst, weight FROM cp UNION ALL SELECT dst, src, weight FROM cp)"
+    val rs = (1 to rounds).map { i =>
+      s"""k$i AS MATERIALIZED (SELECT src AS id FROM e${i - 1} GROUP BY 1 HAVING sum(weight) >= $s),
+         | e$i AS MATERIALIZED (SELECT e.src, e.dst, e.weight FROM e${i - 1} e JOIN k$i a ON e.src = a.id JOIN k$i b ON e.dst = b.id)""".stripMargin
+    }
+    (head +: rs).mkString(",\n ")
+  }
+
   /** Unrolled FULL core decomposition over a symmetrized edge CTE named
     * `cpf` ([[graft.algos.KCore.coreness]] twin): `levels` unrolled k
     * levels, each peeling the PREVIOUS level's fixpoint edge set with
@@ -587,6 +601,25 @@ object OracleSql {
          | cpf AS (SELECT src, dst FROM cp WHERE weight >= 2),
          | ${kcoreRounds(3, 5)}
          |SELECT src AS id, CAST(count(*) AS BIGINT) AS deg FROM e5 GROUP BY 1 ORDER BY id""".stripMargin,
+
+    // weighted s-core: 2 unrolled peels on sum(weight) >= 110 over the FULL
+    // integral-weight co-purchase graph — exact at any equal unroll (the
+    // fixpoint here is empty; the round-2 snapshot is the non-trivial gate)
+    "wkcore110" ->
+      s"""WITH cp AS ($CP),
+         | ${wkcoreRounds(110, 2)}
+         |SELECT src AS id, CAST(sum(weight) AS BIGINT) AS wdeg FROM e2 GROUP BY 1 ORDER BY id""".stripMargin,
+
+    // 2-hop reach: exact distinct |{u : 1 <= dist <= 2}| per vertex
+    "reach2" ->
+      s"""WITH cp AS ($CP),
+         | cpf AS (SELECT src, dst FROM cp WHERE weight >= 2),
+         | e AS MATERIALIZED (SELECT src, dst FROM cpf UNION SELECT dst, src FROM cpf),
+         | two AS (SELECT a.src AS src, b.dst AS dst
+         |   FROM e a JOIN e b ON a.dst = b.src WHERE a.src <> b.dst),
+         | r AS (SELECT src, dst FROM e UNION SELECT src, dst FROM two)
+         |SELECT src AS id, CAST(count(*) AS BIGINT) AS reach2
+         |FROM r GROUP BY 1 ORDER BY id""".stripMargin,
 
     // full core decomposition: 5 unrolled levels (max core 3 measured at
     // sf0.01, 2 at sf0.1) × 18 unrolled peel rounds each (max 9 measured —
@@ -1069,6 +1102,25 @@ object OracleSql {
 
     "dedup_jaccard3" ->
       s"WITH $TOKS,\n ${shCte(3)},\n$JaccTail\n${jaccSelect("")}",
+
+    // asymmetric containment in integer micro-units: 1e6·|S(a)∩S(b)| // |S(a)|,
+    // DIRECTED rows at >= 500000 (both directions from one undirected count)
+    "dedup_containment" ->
+      s"""WITH $TOKS,
+         | ${shCte(3)},
+         | inter AS (
+         |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         | bidi AS (SELECT doc1, doc2, inter FROM inter
+         |   UNION ALL SELECT doc2, doc1, inter FROM inter),
+         | sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+         |SELECT b.doc1 AS src_doc, b.doc2 AS dst_doc,
+         |  CAST(b.inter AS BIGINT) AS inter,
+         |  CAST(1000000 * b.inter // s.n AS BIGINT) AS containment_micro
+         |FROM bidi b JOIN sizes s ON s.doc_id = b.doc1
+         |WHERE 1000000 * b.inter // s.n >= 500000
+         |ORDER BY src_doc, dst_doc""".stripMargin,
 
     "dedup_minhash" ->
       s"""WITH $TOKS,

@@ -211,6 +211,27 @@ object Queries {
         .where(col("weight") >= 2).select("src", "dst"), 3, 5)
         .orderBy("id")),
 
+    // --- weighted s-core (Eidsaa–Almaas): 2 synchronous peels at s=110 on
+    // weighted degree over the FULL integral-weight co-purchase graph.
+    // Fixed-round (the kcore3 discipline — parity is exact at any equal
+    // unroll): this graph's weighted degrees are tightly concentrated
+    // (~118 median at both SFs), so every s that peels at all cascades to
+    // an EMPTY fixpoint within ~3 rounds — the round-2 snapshot is the
+    // non-trivial object (2000→1307→228 vertices at sf0.01,
+    // 20000→13035→2327 at sf0.1; measured via the oracle CTE chain) ------
+    "wkcore110" -> ((s, dir) =>
+      KCore.peelWeighted(
+        TestGraphs.copurchase(s, dir).select("src", "dst", "weight"),
+        110, 2)
+        .orderBy("id")),
+
+    // --- 2-hop reach |{u : dist ≤ 2}| per vertex (exact distinct over the
+    // weight≥2 graph — friend-of-friend audience size) ---------------------
+    "reach2" -> ((s, dir) =>
+      GraphOps.twoHopReach(TestGraphs.copurchase(s, dir)
+        .where(col("weight") >= 2).select("src", "dst"))
+        .orderBy("id")),
+
     // --- connected components (A2): converged, exact ---------------------
     "cc" -> ((s, dir) => {
       val cpf = TestGraphs.copurchase(s, dir)
@@ -338,6 +359,13 @@ object Queries {
 
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLsh(docs(s, dir), 3, 16, 0.5).orderBy("doc1", "doc2")),
+
+    // --- asymmetric containment |S(a)∩S(b)|/|S(a)| in integer micro-units
+    // — the quote/subset detector Jaccard misses (a short doc embedded in
+    // a long one): directed pairs at ≥ 0.5 containment ---------------------
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(docs(s, dir), 3, 500000L)
+        .orderBy("src_doc", "dst_doc")),
 
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir), 3, 3, 0.5).orderBy("doc1", "doc2")),

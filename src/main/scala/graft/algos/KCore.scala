@@ -68,6 +68,35 @@ object KCore {
     (e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg")), r)
   }
 
+  /** Weighted k-core (s-core: Eidsaa & Almaas, PRL 111, 2013) — `rounds`
+    * synchronous peels removing every vertex whose WEIGHTED degree
+    * (sum of incident integral edge weights) in the surviving subgraph is
+    * < s. Input is the directed weighted edge list (src, dst, weight),
+    * src < dst oriented; symmetrization preserves the weight on both
+    * directions. Weights are exact integers (BIGINT counts), so the
+    * DuckDB twin is exact at any equal unroll. Output: surviving vertices
+    * with their in-subgraph weighted degree (id, wdeg). Same one
+    * agg + two semi-joins per materialized round as [[peel]].
+    */
+  def peelWeighted(wedges: DataFrame, s: Long, rounds: Int): DataFrame = {
+    var e = wedges.select(col("src"), col("dst"), col("weight"))
+      .union(wedges.select(col("dst").as("src"), col("src").as("dst"),
+        col("weight")))
+      .transform(Lineage.cut(_, eager = true))
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy(col("src").as("id"))
+        .agg(sum(col("weight")).as("wdeg"))
+        .where(col("wdeg") >= s)
+        .select("id")
+      e = e
+        .join(keep.toDF("src"), Seq("src"), "left_semi")
+        .join(keep.toDF("dst"), Seq("dst"), "left_semi")
+        .select("src", "dst", "weight")
+        .transform(Lineage.cut(_, eager = true))
+    }
+    e.groupBy(col("src").as("id")).agg(sum(col("weight")).as("wdeg"))
+  }
+
   /** Full core DECOMPOSITION — coreness(v) = max k with v ∈ k-core
     * (Seidman, Social Networks 5, 1983; the distributed peel is
     * Montresor/De Pellegrini/Miorandi-style level-synchronous peeling):

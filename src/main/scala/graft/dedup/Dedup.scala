@@ -116,6 +116,49 @@ object Dedup {
       .select("doc1", "doc2", "jaccard")
   }
 
+  /** Asymmetric shingle-CONTAINMENT near-dup pairs (Broder's containment,
+    * SEQUENCES '97 — the quote/subset detector Jaccard misses: a short doc
+    * fully embedded in a long one has tiny Jaccard but containment 1):
+    * containment(a→b) = |S(a) ∩ S(b)| / |S(a)| in integer micro-units
+    * (`1000000 div |S(a)|` per shared shingle — the link_pred/lcc
+    * no-float discipline, exact in both engines). Output: one DIRECTED
+    * row per ordered pair with containment_micro ≥ thresholdMicro,
+    * (src_doc, dst_doc, inter, containment_micro).
+    *
+    * Scale shape: the same inverted-index shingle join as [[jaccardPairs]]
+    * (quadratic only within a posting list); both directions of a pair
+    * come from ONE undirected intersection count, so the join work is not
+    * doubled. When `maxDf` is set, numerator AND denominator use the
+    * df-capped shingle set (deterministic, mirror it in any oracle).
+    */
+  def containmentPairs(docs: DataFrame, n: Int, thresholdMicro: Long,
+                       idCol: String = "doc_id",
+                       textCol: String = "text",
+                       maxDf: Option[Long] = None): DataFrame = {
+    val shAll = TextOps.shingleRows(docs, idCol, textCol, n)
+      .localCheckpoint(true)
+    val sh = maxDf match {
+      case Some(cap) =>
+        shAll.join(
+          shAll.groupBy("shingle").agg(count(lit(1)).as("__df"))
+            .where(col("__df") <= cap).select("shingle"),
+          Seq("shingle"), "left_semi")
+      case None => shAll
+    }
+    val und = intersections(sh, None)
+    val both = und.unionByName(
+      und.select(col("doc2").as("doc1"), col("doc1").as("doc2"),
+        col("inter")))
+    val sz = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    both
+      .join(sz.toDF("doc1", "n1"), "doc1")
+      .withColumn("containment_micro",
+        expr("CAST(1000000L * inter div n1 AS BIGINT)"))
+      .where(col("containment_micro") >= thresholdMicro)
+      .select(col("doc1").as("src_doc"), col("doc2").as("dst_doc"),
+        col("inter"), col("containment_micro"))
+  }
+
   /** MinHash signatures, md5 variant: numHashes rows per doc, (doc_id, i,
     * h) with h = min over shingles of md5("<i>:<shingle>"). One wide
     * codegen'd aggregate over the shingle rows (single shuffle of shingle

@@ -317,6 +317,30 @@ object GraphOps {
       .where(col("sim") >= threshold)
   }
 
+  /** 2-hop neighborhood size — |{u : 1 ≤ dist(v,u) ≤ 2}| per vertex (the
+    * friend-of-friend reach every influence/audience estimate starts
+    * from). Exact distinct count over the symmetrized simple graph: one
+    * self-join on the mid vertex, one union with the 1-hop edges, one
+    * distinct. Integer-exact.
+    *
+    * Scale shape: the wedge join shuffles on the mid vertex and the
+    * distinct on (src, dst) — the same two-shuffle plan as triangle
+    * counting's wedge phase. On power-law graphs the wedge fan-out is
+    * Σ deg², dominated by hubs; at 100 TB cap hub mids first (the
+    * neighborJaccard maxDeg discipline) or switch the count to HLL
+    * ([[graft.functions.Cardinality]]) — exact distinct is the oracle
+    * baseline here.
+    */
+  def twoHopReach(edges: DataFrame): DataFrame = {
+    val e = symmetrize(edges).where(col("src") =!= col("dst"))
+    val two = e.toDF("src", "mid").join(e.toDF("mid", "dst"), Seq("mid"))
+      .where(col("src") =!= col("dst"))
+      .select("src", "dst")
+    e.union(two).distinct()
+      .groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("reach2"))
+  }
+
   /** Replicate frontier rows for hub vertices across their salts so the
     * salted join covers every sub-group: explode(sequence(0, nsalts-1)).
     */
