@@ -120,6 +120,23 @@ object OracleSql {
   /** k rounds of min-plus relaxation from min(src); CASE instead of least()
     * for engine-agnostic null handling.
     */
+  /** 2^44 — the (dist, seed) packing base shared with
+    * [[graft.algos.Paths.nearestSeeds]].
+    */
+  private val SeedShift = 17592186044416L
+
+  /** Unrolled multi-source BFS rounds `n1..nk` on the packed
+    * dist·2^44 + seed minimum (needs e and n0 in scope).
+    */
+  private def seedRounds(k: Int): String =
+    (1 to k).map { i =>
+      s"""n$i AS MATERIALIZED (
+         |  SELECT p.id, CASE WHEN m.np IS NULL THEN p.packed WHEN p.packed IS NULL OR m.np < p.packed THEN m.np ELSE p.packed END AS packed
+         |  FROM n${i - 1} p LEFT JOIN (
+         |    SELECT e.dst AS id, min(pp.packed + $SeedShift) AS np
+         |    FROM e JOIN n${i - 1} pp ON e.src = pp.id WHERE pp.packed IS NOT NULL GROUP BY 1) m ON p.id = m.id)""".stripMargin
+    }.mkString(",\n ")
+
   private def relaxRounds(k: Int, weighted: Boolean): String = {
     val w = if (weighted) "e.w" else "1.0"
     val d0 = "d0 AS MATERIALIZED (SELECT v.id, CASE WHEN v.id = (SELECT min(src) FROM e) " +
@@ -611,6 +628,23 @@ object OracleSql {
          |SELECT src AS id, CAST(sum(weight) AS BIGINT) AS wdeg FROM e2 GROUP BY 1 ORDER BY id""".stripMargin,
 
     // 2-hop reach: exact distinct |{u : 1 <= dist <= 2}| per vertex
+    // multi-source BFS landmark assignment: md5-sampled seeds, the
+    // (dist, seed) lexicographic min carried as ONE packed BIGINT
+    // dist·2^44 + seed so each unrolled round is a plain min() — the
+    // Spark spelling packs identically (Paths.nearestSeeds)
+    "nearest_seed8" ->
+      s"""WITH cp AS ($CP),
+         | cpf AS (SELECT src, dst FROM cp WHERE weight >= 2),
+         | e AS MATERIALIZED (SELECT src, dst FROM cpf UNION SELECT dst, src FROM cpf),
+         | v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         | n0 AS MATERIALIZED (SELECT id,
+         |   CASE WHEN ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))::BIGINT % 50 = 0
+         |        THEN CAST(id AS BIGINT) ELSE NULL END AS packed FROM v),
+         | ${seedRounds(8)}
+         |SELECT id, CAST(packed // $SeedShift AS BIGINT) AS dist,
+         |  CAST(packed % $SeedShift AS BIGINT) AS seed
+         |FROM n8 WHERE packed IS NOT NULL ORDER BY id""".stripMargin,
+
     "reach2" ->
       s"""WITH cp AS ($CP),
          | cpf AS (SELECT src, dst FROM cp WHERE weight >= 2),
@@ -697,6 +731,20 @@ object OracleSql {
       s"""WITH cp AS ($CP), e AS (SELECT src AS a, dst AS b FROM cp)
          |SELECT CAST(count(*) AS BIGINT) AS triangles
          |FROM e e1 JOIN e e2 ON e1.b = e2.a JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin,
+
+    // 4-cliques: tri(a,b,c) with a<b<c under the id orientation, extended
+    // by d>c adjacent to all three — each K4 counted once at its sorted
+    // order; the count is orientation-invariant, so Spark's degree
+    // orientation agrees
+    "kclique4" ->
+      s"""WITH cp AS ($CP), e AS (SELECT src AS a, dst AS b FROM cp),
+         | tri AS (
+         |  SELECT e1.a, e1.b, e2.b AS c
+         |  FROM e e1 JOIN e e2 ON e1.b = e2.a JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+         |SELECT CAST(count(*) AS BIGINT) AS cliques4
+         |FROM tri JOIN e e4 ON e4.a = tri.c
+         | JOIN e e5 ON e5.a = tri.a AND e5.b = e4.b
+         | JOIN e e6 ON e6.a = tri.b AND e6.b = e4.b""".stripMargin,
 
     "tc_pervertex" ->
       s"""WITH cp AS ($CP), e AS (SELECT src AS a, dst AS b FROM cp),
@@ -1290,6 +1338,30 @@ object OracleSql {
          | bg AS (SELECT ts[i] || ' ' || ts[i+1] AS gram FROM idx)
          |SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM bg GROUP BY 1
          |ORDER BY cnt DESC, gram LIMIT 50""".stripMargin,
+
+    // bigram collocation lift in staged per-million integer rates (exact
+    // in both engines: `//` ≡ `div` on non-negative operands; rates ≤ 10⁶
+    // keep every product under the BIGINT ceiling at any corpus size);
+    // zero rates filtered BEFORE dividing (DuckDB `// 0` throws)
+    "bigram_lift" ->
+      s"""WITH $TOKS,
+         | idx AS (SELECT doc_id, ts, unnest(generate_series(1, CAST(len(ts) AS BIGINT))) AS i FROM toks),
+         | occ AS (SELECT doc_id, i, ts[i] AS w FROM idx),
+         | uni AS (SELECT w, CAST(count(*) AS BIGINT) AS ucnt FROM occ GROUP BY 1),
+         | tot AS (SELECT CAST(sum(ucnt) AS BIGINT) AS t_tok FROM uni),
+         | bg AS (SELECT a.w AS w1, b.w AS w2, CAST(count(*) AS BIGINT) AS cnt
+         |   FROM occ a JOIN occ b ON a.doc_id = b.doc_id AND b.i = a.i + 1 GROUP BY 1, 2),
+         | tbg AS (SELECT CAST(sum(cnt) AS BIGINT) AS t_bg FROM bg),
+         | r AS (SELECT w1, w2, cnt,
+         |   (cnt * 1000000) // t_bg AS r_xy,
+         |   (u1.ucnt * 1000000) // t_tok AS r_x,
+         |   (u2.ucnt * 1000000) // t_tok AS r_y
+         |   FROM bg JOIN uni u1 ON bg.w1 = u1.w JOIN uni u2 ON bg.w2 = u2.w, tot, tbg
+         |   WHERE cnt >= 5)
+         |SELECT w1 || ' ' || w2 AS gram, cnt,
+         |  CAST((r_xy * 1000000000000) // (r_x * r_y) AS BIGINT) AS lift_micro
+         |FROM r WHERE r_x > 0 AND r_y > 0
+         |ORDER BY lift_micro DESC, gram LIMIT 50""".stripMargin,
 
     "token_count" ->
       """SELECT doc_id,

@@ -232,6 +232,17 @@ object Queries {
         .where(col("weight") >= 2).select("src", "dst"))
         .orderBy("id")),
 
+    // --- multi-source BFS / graph-Voronoi landmark assignment over the
+    // weight≥2 graph (~2% md5-sampled seeds; (dist, seed) min packed into
+    // one BIGINT so every round is a plain hash-agg). Fixed-8 unroll:
+    // exact at any EQUAL unroll in both engines --------------------------
+    "nearest_seed8" -> ((s, dir) => {
+      val cpf = TestGraphs.copurchase(s, dir)
+        .where(col("weight") >= 2).select("src", "dst")
+      Paths.nearestSeeds(GraphOps.symmetrize(cpf), 8, 50L)
+        .orderBy("id")
+    }),
+
     // --- connected components (A2): converged, exact ---------------------
     "cc" -> ((s, dir) => {
       val cpf = TestGraphs.copurchase(s, dir)
@@ -286,6 +297,12 @@ object Queries {
 
     "tc_pervertex" -> ((s, dir) =>
       TriangleCount.perVertex(TestGraphs.copurchase(s, dir)).orderBy("id")),
+
+    // --- global 4-clique count (K4 — the next motif up from triangles;
+    // orientation-invariant, so Spark's degree orientation and the
+    // oracle's id orientation agree on the count) --------------------------
+    "kclique4" -> ((s, dir) =>
+      TriangleCount.fourCliques(TestGraphs.copurchase(s, dir))),
 
     // Local clustering coefficient in exact integer micro-units
     // (floor(2e6·tri/deg·(deg−1)), 0 when deg<2) — Spark `div` ≡ DuckDB
@@ -402,6 +419,14 @@ object Queries {
     "topk_bigrams" -> ((s, dir) =>
       TextOps.ngramCounts(docs(s, dir), 2)
         .orderBy(col("cnt").desc, col("gram"))
+        .limit(50)),
+
+    // --- top-50 bigram collocations by lift (PMI family) in overflow-proof
+    // integer micro-units — association strength, where topk_bigrams is
+    // raw frequency ---------------------------------------------------------
+    "bigram_lift" -> ((s, dir) =>
+      TextOps.bigramLift(docs(s, dir), minCount = 5)
+        .orderBy(col("lift_micro").desc, col("gram"))
         .limit(50)),
 
     // --- per-doc top-3 TF·IDF terms: idf as the integer micro-unit

@@ -299,4 +299,45 @@ object Paths {
     }
     dist
   }
+
+  /** Multi-source BFS / graph-Voronoi landmark assignment: seeds are the
+    * vertices with `md5Prio(id) % seedMod == 0` (deterministic ~1/seedMod
+    * sample — the doc_split hash discipline), and every vertex within `k`
+    * hops is assigned its (dist, seed) lexicographic-minimum landmark.
+    * The pair travels as ONE packed BIGINT `dist·2⁴⁴ + seed` so each round
+    * is a plain `min` hash-aggregate — no struct min_by, no string
+    * compare (the MSF/mis priority discipline) — and the same packing
+    * makes the DuckDB twin byte-exact. Precondition: ids ∈ [0, 2⁴⁴) —
+    * densify first ([[graft.graph.GraphOps.denseIds]]) if they are not.
+    *
+    * The web-scale use is landmark-based partitioning/routing: one BFS
+    * wave from ~|V|/seedMod sources costs the same per-round
+    * co-partitioned join as single-source BFS — the frontier is just
+    * denser — where running |seeds| separate BFS jobs would multiply the
+    * serial floor. Returns (id, dist, seed) for reached vertices only;
+    * fixed-`k` truncation is exact at any equal unroll in both engines.
+    */
+  def nearestSeeds(edges: DataFrame, k: Int, seedMod: Long): DataFrame = {
+    val Shift = 17592186044416L // 2^44
+    val e = edges.select("src", "dst")
+      .transform(Lineage.cut(_, eager = true))
+    val verts = GraphOps.vertices(e)
+    var st = verts.select(col("id"),
+      when(GraphOps.md5Prio(col("id").cast("string")) % seedMod === 0,
+        col("id").cast("long")).otherwise(lit(null).cast("long"))
+        .as("packed"))
+    for (i <- 1 to k) {
+      val msgs = e.join(st.where(col("packed").isNotNull)
+          .withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("packed") + Shift).as("np"))
+      st = st.join(msgs, Seq("id"), "left_outer")
+        .select(col("id"), least(col("packed"), col("np")).as("packed"))
+      if (i < k) st = st.transform(Lineage.cut(_, eager = true))
+    }
+    st.where(col("packed").isNotNull)
+      .select(col("id"),
+        expr(s"packed div ${Shift}L").as("dist"),
+        expr(s"packed % ${Shift}L").as("seed"))
+  }
 }

@@ -133,4 +133,34 @@ object TriangleCount {
       coalesce(sum(expr("(cn * (cn - 1)) div 2")), lit(0L))
         .as("butterflies"))
   }
+
+  /** Global 4-clique (K4) count. Under the acyclic (degree, id)
+    * orientation every K4 induces a transitive tournament with a unique
+    * vertex order a→b→c→d, so counting (oriented triangle (a,b,c)) ×
+    * (forward edge c→d) pairs whose (a,d) and (b,d) edges also exist
+    * counts each K4 exactly once. Orientation-invariant, so the DuckDB
+    * twin may orient by raw id.
+    *
+    * Scale: the candidate fan-out is Σ_tri fwd-deg(c) — the same
+    * arboricity-bounded budget as the wedge step (degree orientation caps
+    * forward-degree at ~√(2m)), and both clique checks are left-semi
+    * joins, so no payload beyond the 4 ids ever shuffles. One row
+    * (cliques4: long).
+    */
+  def fourCliques(edges: DataFrame): DataFrame = {
+    val e = orientedByDegree(edges)
+    val e1 = e.select(col("src").as("a"), col("dst").as("b"))
+    val e2 = e.select(col("src").as("b"), col("dst").as("c"))
+    val wedges = e1.join(e2, "b").select("a", "b", "c")
+    val closing = e.select(col("src").as("a"), col("dst").as("c"))
+    val tris = wedges.join(closing, Seq("a", "c"), "left_semi")
+    val ext = e.select(col("src").as("c"), col("dst").as("d"))
+    val cand = tris.join(ext, "c")
+    cand
+      .join(e.select(col("src").as("a"), col("dst").as("d")),
+        Seq("a", "d"), "left_semi")
+      .join(e.select(col("src").as("b"), col("dst").as("d")),
+        Seq("b", "d"), "left_semi")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("cliques4"))
+  }
 }

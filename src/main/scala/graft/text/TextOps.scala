@@ -66,6 +66,51 @@ object TextOps {
     grams.groupBy("gram").agg(count(lit(1)).as("cnt"))
   }
 
+  /** Collocation lift per bigram — the PMI-family association score
+    * re-expressed so no float (and no log) ever crosses the oracle gate:
+    * with per-million occurrence rates `r_xy = cnt·10⁶ div Σcnt`,
+    * `r_x = u(w1)·10⁶ div Σu`, `r_y` likewise,
+    * `lift_micro = r_xy·10¹² div (r_x·r_y)` ≈ 10⁶ · P(xy)/(P(x)P(y)).
+    * The staged integer divisions are truncation-identical in Spark
+    * (`div`) and DuckDB (`//`) on non-negative operands, and — because
+    * rates are bounded by 10⁶ — every intermediate fits a BIGINT at ANY
+    * corpus size (r_xy·10¹² ≤ 10¹⁸), unlike the naive
+    * cnt·T²·10⁶/(B·u1·u2) spelling which overflows past ~10⁵ documents.
+    * Zero rates (tokens rarer than 1 per million) are filtered, not
+    * divided: Spark's `div 0` yields null but DuckDB's `//` throws.
+    *
+    * Scale: two hash-aggregates over the token stream (unigrams, bigrams)
+    * + the position self-join [[ngramCounts]] uses; the three totals are
+    * one-row broadcast cross-joins. `minCount` prunes the long noise tail
+    * before the unigram join. Output (gram, cnt, lift_micro).
+    */
+  def bigramLift(docs: DataFrame, minCount: Long = 5,
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val pos = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__ts"))
+      .select(col("doc_id"), posexplode(col("__ts")).as(Seq("i", "w")))
+    val uni = pos.groupBy("w").agg(count(lit(1)).as("ucnt"))
+    val totTok = uni.agg(sum(col("ucnt")).as("t_tok"))
+    val bg = pos.select(col("doc_id"), col("i"), col("w").as("w1"))
+      .join(pos.select(col("doc_id"), (col("i") - 1).as("i"),
+        col("w").as("w2")), Seq("doc_id", "i"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+    val totBg = bg.agg(sum(col("cnt")).as("t_bg"))
+    bg.where(col("cnt") >= minCount)
+      .join(uni.toDF("w1", "u1"), "w1")
+      .join(uni.toDF("w2", "u2"), "w2")
+      .crossJoin(broadcast(totTok))
+      .crossJoin(broadcast(totBg))
+      .select(concat(col("w1"), lit(" "), col("w2")).as("gram"), col("cnt"),
+        expr("(cnt * 1000000) div t_bg").as("r_xy"),
+        expr("(u1 * 1000000) div t_tok").as("r_x"),
+        expr("(u2 * 1000000) div t_tok").as("r_y"))
+      .where(col("r_x") > 0 && col("r_y") > 0)
+      .select(col("gram"), col("cnt"),
+        expr("(r_xy * 1000000000000) div (r_x * r_y)").as("lift_micro"))
+  }
+
   // --- quality scoring -----------------------------------------------------
 
   val Stopwords: Seq[String] =
