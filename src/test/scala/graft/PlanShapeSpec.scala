@@ -172,6 +172,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(truss.columns.toSeq === Seq("src", "dst", "support"))
   }
 
+  test("nearestSeeds round plan: packed (dist,seed) min is a LONG hash agg") {
+    val s = spark
+    import s.implicits._
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val plan = fmt(graft.algos.Paths.nearestSeeds(
+      graft.graph.GraphOps.symmetrize(e), 2, 3L))
+    // the whole point of the dist·2^44+seed packing: the per-round
+    // lexicographic (dist, seed) minimum must plan as min(LONG) on the
+    // hash-agg path — a struct min would SortAggregate over every
+    // frontier message (the MSF/mis/matching priority lesson)
+    assert(plan.contains("HashAggregate"), s"plan:\n$plan")
+    assert(!plan.contains("SortAggregate"),
+      s"packed landmark min fell back to SortAggregate:\n$plan")
+  }
+
+  test("fourCliques plan: both clique checks are semi joins, no product") {
+    val s = spark
+    import s.implicits._
+    val e = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L),
+      (2L, 3L)).toDF("src", "dst")
+    val plan = fmt(graft.algos.TriangleCount.fourCliques(e))
+    // the (a,d) and (b,d) clique checks plus the triangle closing join:
+    // all three must ship ids only (semi), and nothing may degrade to a
+    // nested-loop/cartesian product
+    assert("LeftSemi".r.findAllIn(plan).size >= 3,
+      s"expected ≥3 semi joins in the K4 plan:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"product join in the K4 plan:\n$plan")
+  }
+
   test("dedup_exact plan carries digests, not document text, into the agg") {
     val s = spark
     import s.implicits._
