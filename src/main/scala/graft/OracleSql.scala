@@ -591,6 +591,13 @@ object OracleSql {
          |SELECT src, dst, CAST(weight AS DOUBLE) AS weight
          |FROM cp ORDER BY src, dst""".stripMargin,
 
+    // JSON-lines round-trip keeps the integral weight (the text format
+    // reads it back as DOUBLE; JSON preserves the long)
+    "jsonl_roundtrip" ->
+      s"""WITH cp AS ($CP)
+         |SELECT src, dst, CAST(weight AS BIGINT) AS weight
+         |FROM cp ORDER BY src, dst""".stripMargin,
+
     // S4 resume: 3 supersteps + durable snapshot, resumed to 5 — the final
     // state equals pr5's straight 5-round trajectory
     "pr_resume" ->
@@ -916,7 +923,34 @@ object OracleSql {
          |SELECT src AS id, CAST(count(*) AS BIGINT) AS outdeg
          |FROM cp GROUP BY 1 ORDER BY id""".stripMargin,
 
+    // stream-static join shape: the drained complete-mode rollup equals
+    // the batch join+groupBy against the part-brand dim
+    "stream_enrich" ->
+      s"""WITH cp AS ($CP)
+         |SELECT p.p_brand AS attr, CAST(count(*) AS BIGINT) AS n_edges,
+         |  CAST(sum(cp.weight) AS BIGINT) AS wsum
+         |FROM cp JOIN part p ON cp.src = p.p_partkey
+         |GROUP BY 1 ORDER BY attr""".stripMargin,
+
     // neighbor-set Jaccard over the filtered symmetrized graph
+    // overlap coefficient (inter / min-degree) in integer micro-units —
+    // the graph-side containment twin of dedup_containment
+    "g_overlap_sim" ->
+      s"""WITH cp AS MATERIALIZED ($CP),
+         | e AS MATERIALIZED (SELECT src, dst FROM (
+         |                    SELECT src, dst FROM cp WHERE weight >= 2
+         |                    UNION SELECT dst, src FROM cp WHERE weight >= 2)
+         |                    WHERE src <> dst),
+         | deg AS MATERIALIZED (SELECT src AS id, count(*) AS deg FROM e GROUP BY 1),
+         | inter AS MATERIALIZED (
+         |  SELECT a.src AS v1, b.src AS v2, count(*) AS inter
+         |  FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
+         |  GROUP BY 1, 2)
+         |SELECT i.v1, i.v2, CAST((i.inter * 1000000) // least(d1.deg, d2.deg) AS BIGINT) AS overlap_micro
+         |FROM inter i JOIN deg d1 ON i.v1 = d1.id JOIN deg d2 ON i.v2 = d2.id
+         |WHERE (i.inter * 1000000) // least(d1.deg, d2.deg) >= 500000
+         |ORDER BY i.v1, i.v2""".stripMargin,
+
     "g_jaccard_sim" ->
       s"""WITH cp AS MATERIALIZED ($CP),
          | e AS MATERIALIZED (SELECT src, dst FROM (
@@ -1252,6 +1286,18 @@ object OracleSql {
          |     ORDER BY score_micro DESC, term) AS BIGINT) AS rank FROM sc)
          |SELECT doc_id, rank, term, tf, df, score_micro
          |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // 40-token context-window chunking: ceil-division chunk count keeps
+    // every operand non-negative (floor vs trunc division diverges on
+    // negatives); md5 fingerprints the space-joined window
+    "chunk40" ->
+      s"""WITH $TOKS,
+         | n AS (SELECT doc_id, ts, CAST(len(ts) AS BIGINT) AS n FROM toks),
+         | c AS (SELECT doc_id, ts, n, unnest(generate_series(1, (n + 39) // 40)) AS chunk_idx FROM n)
+         |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         |  CAST(least(40, n - (chunk_idx - 1) * 40) AS BIGINT) AS n_tok,
+         |  md5(array_to_string(ts[((chunk_idx - 1) * 40 + 1):(chunk_idx * 40)], ' ')) AS chunk_md5
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // deterministic md5 train/valid/test split — 60-bit md5 prefix of the
     // stringified id mod 10 (the md5Prio twin), 8/1/1

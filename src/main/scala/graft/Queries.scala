@@ -136,6 +136,29 @@ object Queries {
     // co-purchase edges round-trip through the converter input format
     // ("src dst weight" lines) and come back via the distributed csv-schema
     // reader; materialized eagerly so the temp dir can be removed.
+    // co-purchase edges round-trip through JSON lines (S-family source
+    // format beside text + parquet): explicit-schema read, no inferSchema
+    // pre-scan; materialized eagerly so the temp dir can be removed.
+    "jsonl_roundtrip" -> ((s, dir) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-jsonl").toString
+      try {
+        val jsonDir = s"$base/edges"
+        TestGraphs.copurchase(s, dir)
+          .select(col("src"), col("dst"), col("weight"))
+          .write.mode("overwrite").json(jsonDir)
+        GraphOps.readJsonEdges(s, jsonDir)
+          .orderBy("src", "dst").localCheckpoint(true)
+      } finally {
+        import java.nio.file.{Files => F, Path}
+        import java.util.Comparator
+        val walk = F.walk(Path.of(base))
+        try walk.sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => F.deleteIfExists(p))
+        finally walk.close()
+      }
+    }),
+
     "edgelist_roundtrip" -> ((s, dir) => {
       val base = java.nio.file.Files
         .createTempDirectory("graft-edgelist").toString
@@ -353,6 +376,18 @@ object Queries {
         .windowedCountsViaStream(TestGraphs.table(s, dir, "events"))
         .orderBy("hour_bucket", "event_type")),
 
+    // Stream-STATIC join shape under the oracle: the edge log replayed one
+    // file per trigger, equi-joined per micro-batch against the static
+    // part-brand dim (broadcast side), complete-mode rollup per brand —
+    // final state ≡ the batch join+groupBy (count/long-sum merges are
+    // order-independent).
+    "stream_enrich" -> ((s, dir) =>
+      graft.streaming.EdgeStream.enrichedEdgeCountsViaStream(
+        TestGraphs.copurchase(s, dir),
+        TestGraphs.table(s, dir, "part")
+          .select(col("p_partkey").as("id"), col("p_brand").as("attr")))
+        .orderBy("attr")),
+
     // Keyed-state streaming path (mapGroupsWithState, update mode) under
     // the oracle: per-vertex running out-degree counters drained over a
     // bounded replay — final state ≡ the batch out-degrees (the counter is
@@ -435,6 +470,12 @@ object Queries {
     "tfidf_top3" -> ((s, dir) =>
       TextOps.tfIdfTop(docs(s, dir), 3).orderBy("doc_id", "rank")),
 
+    // --- 40-token context-window chunking with per-chunk md5 fingerprints
+    // (training context prep; shuffle-free per-row array expressions) ------
+    "chunk40" -> ((s, dir) =>
+      TextOps.chunkFingerprints(docs(s, dir), 40)
+        .orderBy("doc_id", "chunk_idx")),
+
     // --- deterministic md5 train/valid/test split (8/1/1): per-row, no
     // shuffle, stable under corpus growth — the reproducible-split
     // primitive every training pipeline needs ------------------------------
@@ -503,6 +544,14 @@ object Queries {
         .localCheckpoint(true)
       EdgeDerivation.importEdges(corpus, ids).orderBy("src", "dst")
     }),
+
+    // --- neighbor-set OVERLAP coefficient at ≥0.5 in integer micro-units:
+    // the hub-subset detector Jaccard misses (graph-side containment) ----
+    "g_overlap_sim" -> ((s, dir) =>
+      GraphOps.neighborOverlap(
+        TestGraphs.copurchase(s, dir)
+          .where(col("weight") >= 2).select("src", "dst"), 500000L)
+        .orderBy("v1", "v2")),
 
     // --- neighbor-set Jaccard similarity (link prediction): candidate
     // pairs from one wedge join, sim = inter/(d1+d2-inter) rounded ------

@@ -317,6 +317,54 @@ object GraphOps {
       .where(col("sim") >= threshold)
   }
 
+  /** Neighbor-set OVERLAP coefficient — |N(a)∩N(b)| / min(|N(a)|,|N(b)|)
+    * in exact integer micro-units: the hub-subset detector Jaccard
+    * misses (a vertex whose whole neighborhood sits inside a hub's scores
+    * overlap 1.0 but a tiny Jaccard — the containment/Jaccard asymmetry,
+    * on graphs). Same candidate generation as [[neighborJaccard]]: pairs
+    * come from the shared-neighbor wedge join — never all-pairs — with
+    * the identical deterministic `maxDeg` hot-center cap, and the score
+    * is `(inter·10⁶) div min(d1,d2)` so no float crosses the oracle.
+    * Output (v1, v2, overlap_micro) at ≥ `thresholdMicro`.
+    */
+  def neighborOverlap(edges: DataFrame, thresholdMicro: Long,
+                      maxDeg: Long = Long.MaxValue): DataFrame = {
+    val und = symmetrize(edges).where(col("src") =!= col("dst"))
+      .localCheckpoint(true)
+    val deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val wedgeE =
+      if (maxDeg == Long.MaxValue) und
+      else und.join(deg.where(col("deg") <= maxDeg)
+          .select(col("id").as("dst")), Seq("dst"), "left_semi")
+        .select("src", "dst")
+    val wedge = wedgeE.select(col("src").as("v"), col("dst").as("nbr"))
+    val inter = wedge.toDF("v1", "nbr")
+      .join(wedge.toDF("v2", "nbr"), Seq("nbr"))
+      .where(col("v1") < col("v2"))
+      .groupBy("v1", "v2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(deg.toDF("v1", "d1"), "v1")
+      .join(deg.toDF("v2", "d2"), "v2")
+      .select(col("v1"), col("v2"),
+        expr("(inter * 1000000) div least(d1, d2)").as("overlap_micro"))
+      .where(col("overlap_micro") >= thresholdMicro)
+  }
+
+  /** JSON-lines edge reader (S-family source format beside the text
+    * edge list and parquet): explicit schema — NEVER inferSchema, which
+    * would force a full pre-scan of the input — malformed lines dropped
+    * (PERMISSIVE leaves their fields null).
+    */
+  def readJsonEdges(spark: org.apache.spark.sql.SparkSession,
+                    path: String): DataFrame =
+    spark.read
+      .option("mode", "PERMISSIVE")
+      .schema("src LONG, dst LONG, weight LONG")
+      .json(path)
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .select(col("src"), col("dst"),
+        coalesce(col("weight"), lit(1L)).as("weight"))
+
   /** 2-hop neighborhood size — |{u : 1 ≤ dist(v,u) ≤ 2}| per vertex (the
     * friend-of-friend reach every influence/audience estimate starts
     * from). Exact distinct count over the symmetrized simple graph: one

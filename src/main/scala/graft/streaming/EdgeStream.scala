@@ -144,6 +144,53 @@ object EdgeStream {
     }
   }
 
+  /** STREAM-STATIC join + aggregate — the dimension-enrichment shape every
+    * streaming pipeline has (tail the edge log, join the slowly-changing
+    * vertex dim, keep per-attribute rollups): the streamed edges are
+    * equi-joined against the STATIC `dim` frame (`id`, `attr`) on src —
+    * Spark plans the static side as a broadcast rebuilt per micro-batch,
+    * so nothing streams twice and no state grows with the dim — then a
+    * complete-mode aggregate keeps (attr, n_edges, wsum). After
+    * Trigger.AvailableNow drains the replay the sink holds exactly the
+    * batch join+groupBy answer (count/sum merges are order-independent),
+    * which is what lets the batch SQL twin gate this shape. `weight`
+    * must be integral (summed as long).
+    */
+  def enrichedEdgeCountsViaStream(edges: DataFrame, dim: DataFrame,
+                                  splits: Int = 4): DataFrame = {
+    import org.apache.spark.sql.types._
+    val spark = edges.sparkSession
+    val tmp = java.nio.file.Files.createTempDirectory("graft-enrich").toString
+    try {
+      edges.select(col("src"), col("dst"), col("weight").cast("long"))
+        .repartition(splits).write.mode("overwrite").parquet(tmp)
+      val schema = StructType(Seq(
+        StructField("src", LongType), StructField("dst", LongType),
+        StructField("weight", LongType)))
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(tmp)
+      val dimSt = dim.select(col("id").as("src"), col("attr"))
+      val agg = stream.join(dimSt, Seq("src"))
+        .groupBy("attr")
+        .agg(count(lit(1)).as("n_edges"), sum(col("weight")).as("wsum"))
+      val name = s"graft_stream_enrich_${runCounter.incrementAndGet()}"
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val out = spark.table(name).localCheckpoint(true)
+      spark.catalog.dropTempView(name)
+      out
+    } finally {
+      import java.nio.file.{Files => F, Path}
+      val walk = F.walk(Path.of(tmp))
+      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => F.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
   /** Exact running out-degree per vertex in keyed state; emits the updated
     * degree for every vertex touched in a micro-batch (Update output mode).
     */

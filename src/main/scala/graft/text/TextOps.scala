@@ -111,6 +111,40 @@ object TextOps {
         expr("(r_xy * 1000000000000) div (r_x * r_y)").as("lift_micro"))
   }
 
+  /** Token-window chunking — the context-window prep step of a training
+    * pipeline: each document's token stream is cut into consecutive
+    * `chunkTokens`-token windows, fingerprinted per chunk (md5 of the
+    * space-joined window — identical hex in DuckDB) so downstream
+    * chunk-level dedup/packing can run without re-tokenizing. Pure
+    * per-row array expressions (codegen, shuffle-free); nchunks =
+    * `(n + chunkTokens − 1) div chunkTokens` keeps every operand
+    * non-negative, where a naive `(n−1) div chunkTokens` DIVERGES across
+    * engines on empty docs (Spark `div` truncates −1→0, DuckDB `//`
+    * floors −1→−1) — and the `nchunks ≥ 1` guard matters because Spark's
+    * `sequence(1, 0)` DESCENDS instead of returning empty. Output
+    * (doc_id, chunk_idx, n_tok, chunk_md5), zero rows for empty docs.
+    */
+  def chunkFingerprints(docs: DataFrame, chunkTokens: Int,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    val k = chunkTokens
+    docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__ts"))
+      .withColumn("__n", size(col("__ts")).cast("long"))
+      .withColumn("__nc", expr(s"(__n + ${k - 1}) div $k"))
+      .select(col("doc_id"), col("__ts"), col("__n"),
+        explode(when(col("__nc") >= 1,
+          sequence(lit(1L), col("__nc")))
+          .otherwise(array().cast("array<long>"))).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        least(lit(k.toLong), col("__n") - (col("chunk_idx") - 1) * k)
+          .as("n_tok"),
+        md5(concat_ws(" ",
+          slice(col("__ts"), ((col("chunk_idx") - 1) * k + 1).cast("int"),
+            lit(k)))).as("chunk_md5"))
+  }
+
   // --- quality scoring -----------------------------------------------------
 
   val Stopwords: Seq[String] =
