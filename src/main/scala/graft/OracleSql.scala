@@ -105,6 +105,34 @@ object OracleSql {
     ("l0 AS MATERIALIZED (SELECT id, id AS label FROM v)" +: rounds).mkString(",\n ")
   }
 
+  /** Seeded-LP rounds: ids ≡ 0 (mod `seedMod`) hold their own label fixed,
+    * everyone else starts NULL and adopts the mode among LABELED neighbors
+    * (needs e, v in scope — the lp5 tie-break discipline).
+    */
+  private def lpSeededRounds(k: Int, seedMod: Long): String = {
+    val rounds = (1 to k).map { i =>
+      s"""b$i AS MATERIALIZED (
+         |  SELECT dst AS id, label AS newlabel FROM (
+         |    SELECT m.dst, m.label, row_number() OVER (PARTITION BY m.dst ORDER BY m.cnt DESC, m.label ASC) AS rn
+         |    FROM (SELECT e.dst, l.label, count(*) AS cnt FROM e JOIN l${i - 1} l ON e.src = l.id WHERE l.label IS NOT NULL GROUP BY 1, 2) m) WHERE rn = 1),
+         | l$i AS MATERIALIZED (SELECT l.id, CASE WHEN l.id % $seedMod = 0 THEN l.id ELSE coalesce(b.newlabel, l.label) END AS label FROM l${i - 1} l LEFT JOIN b$i b ON l.id = b.id)""".stripMargin
+    }
+    (s"l0 AS MATERIALIZED (SELECT id, CASE WHEN id % $seedMod = 0 THEN id END AS label FROM v)" +: rounds)
+      .mkString(",\n ")
+  }
+
+  /** Discrete-quantile tail over hist(v, cnt): prefix sum over the
+    * distinct-value histogram, percentile_disc via integer ceil —
+    * identical to [[graft.functions.Quantiles.discrete]]'s spelling.
+    */
+  private def quantileTail(percents: Seq[Int]): String =
+    s""" cum AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM hist),
+       | n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM hist),
+       | p AS (SELECT CAST(unnest([${percents.mkString(",")}]) AS BIGINT) AS pct)
+       |SELECT pct, CAST(min(v) AS BIGINT) AS value
+       |FROM p JOIN cum ON cum.cum >= (((SELECT n FROM n) * pct + 99) // 100)
+       |GROUP BY pct ORDER BY pct""".stripMargin
+
   /** Weighted-LP rounds: vote weight = Σ edge weight (needs e(src,dst,w)). */
   private def wlpRounds(k: Int): String = {
     val rounds = (1 to k).map { i =>
@@ -682,6 +710,17 @@ object OracleSql {
          |  SELECT e.dst AS id, r.lbl FROM reach r JOIN e ON r.id = e.src)
          |SELECT id, min(lbl) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin,
 
+    // incremental CC ≡ from-scratch CC over old ∪ delta — the closure
+    // oracle on ALL co-purchase edges (no weight filter)
+    "cc_incr" ->
+      s"""WITH RECURSIVE cp AS ($CP),
+         | e AS (SELECT src, dst FROM cp UNION SELECT dst, src FROM cp),
+         | reach AS (
+         |  SELECT src AS id, src AS lbl FROM e
+         |  UNION
+         |  SELECT e.dst AS id, r.lbl FROM reach r JOIN e ON r.id = e.src)
+         |SELECT id, min(lbl) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin,
+
     // star-contraction CC reaches the same fixpoint as HashMin — shared
     // closure oracle (cc's SQL verbatim)
     "cc_stars" ->
@@ -726,6 +765,14 @@ object OracleSql {
 
     "lp5" ->
       s"WITH $UND,\n ${lpRounds(5)}\nSELECT id, label FROM l5 ORDER BY id",
+
+    // seeded (semi-supervised) LP: mod-10 seeds immutable, labels spread
+    // only from seeds, unreached vertices -1
+    "lp_seeded" ->
+      s"""WITH $UND,
+         | ${lpSeededRounds(5, 10L)}
+         |SELECT id, CAST(coalesce(label, -1) AS BIGINT) AS label
+         |FROM l5 ORDER BY id""".stripMargin,
 
     "wlp5" ->
       s"""WITH cp AS ($CP),
@@ -858,6 +905,28 @@ object OracleSql {
 
     // directed dyad census + reciprocity + transitivity on the scc
     // digraph, all exact integers / exact rationals
+    // exact discrete degree quantiles over the undirected degree table
+    "deg_percentiles" ->
+      s"""WITH $UND,
+         | hist AS (SELECT CAST(outdeg AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS cnt FROM d GROUP BY 1),
+         |${quantileTail(Seq(25, 50, 75, 90, 99))}""".stripMargin,
+
+    // directed triangle census on the scc digraph: cyclic (a→b→c→a, each
+    // counted at 3 rotations → exact //3) vs transitive (a→b→c + a→c)
+    // closed-wedge instances; EXISTS = the Spark left-semi closings
+    "ditriangles" ->
+      s"""WITH cp AS MATERIALIZED ($CP),
+         | e AS MATERIALIZED (SELECT src, dst FROM cp WHERE weight >= 2
+         |       UNION SELECT dst, src FROM cp WHERE weight >= 3),
+         | w AS MATERIALIZED (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+         |       FROM e e1 JOIN e e2 ON e1.dst = e2.src),
+         | cyc AS (SELECT CAST(count(*) AS BIGINT) AS c3 FROM w
+         |   WHERE EXISTS (SELECT 1 FROM e WHERE e.src = w.c AND e.dst = w.a)),
+         | tr AS (SELECT CAST(count(*) AS BIGINT) AS t3 FROM w
+         |   WHERE EXISTS (SELECT 1 FROM e WHERE e.src = w.a AND e.dst = w.c))
+         |SELECT CAST(c3 // 3 AS BIGINT) AS cyclic3, t3 AS transitive3
+         |FROM cyc, tr ORDER BY cyclic3""".stripMargin,
+
     "digraph_profile" ->
       s"""WITH cp AS MATERIALIZED ($CP),
          | e AS MATERIALIZED (SELECT src, dst FROM cp WHERE weight >= 2
@@ -1118,6 +1187,18 @@ object OracleSql {
          | ${harmonicRounds(4)}
          |SELECT v.id, coalesce(s.harmonic, 0) AS harmonic FROM v LEFT JOIN (
          |  SELECT id, CAST(sum(CAST(round(1000000.0 / dist, 0) AS BIGINT)) AS BIGINT) AS harmonic
+         |  FROM h4 WHERE dist > 0 GROUP BY id) s ON v.id = s.id ORDER BY v.id""".stripMargin,
+
+    // truncated closeness over the same 8-root sample / 4-hop levels as
+    // harmonic8 — exact integer (reached, sum_dist)
+    "closeness8" ->
+      s"""WITH $UND,
+         | roots AS MATERIALIZED (SELECT id AS root FROM v ORDER BY id LIMIT 8),
+         | ${harmonicRounds(4)}
+         |SELECT v.id, CAST(coalesce(s.reached, 0) AS BIGINT) AS reached,
+         |  CAST(coalesce(s.sum_dist, 0) AS BIGINT) AS sum_dist
+         |FROM v LEFT JOIN (
+         |  SELECT id, CAST(count(*) AS BIGINT) AS reached, CAST(sum(dist) AS BIGINT) AS sum_dist
          |  FROM h4 WHERE dist > 0 GROUP BY id) s ON v.id = s.id ORDER BY v.id""".stripMargin,
 
     // Luby MIS with md5 priorities, over-unrolled (ConvergenceProbe:
@@ -1414,6 +1495,13 @@ object OracleSql {
         |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]', 0)) AS BIGINT) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // document length distribution as exact discrete quantiles
+    // (percentile_disc via histogram prefix sum — the Quantiles spelling)
+    "doc_len_quantiles" ->
+      s"""WITH t AS (SELECT CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS v FROM documents),
+         | hist AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY 1),
+         |${quantileTail(Seq(25, 50, 75, 90, 99))}""".stripMargin,
 
     "pipeline_clean" ->
       s"""WITH $TOKS,

@@ -60,6 +60,15 @@ object Queries {
         .orderBy("id")
     }),
 
+    // --- exact discrete degree quantiles via the histogram-prefix-sum
+    // spelling (the window runs over distinct degree VALUES, never rows) --
+    "deg_percentiles" -> ((s, dir) => {
+      val deg = und(s, dir).groupBy(col("src").as("id"))
+        .agg(count(lit(1)).as("deg"))
+      graft.functions.Quantiles.discrete(deg, "deg",
+        Seq(25, 50, 75, 90, 99)).orderBy("pct")
+    }),
+
     "vertex_classes" -> ((s, dir) => {
       val cp = TestGraphs.copurchase(s, dir)
       val universe = TestGraphs.table(s, dir, "part")
@@ -284,6 +293,20 @@ object Queries {
         ._1.orderBy("id")
     }),
 
+    // --- incremental CC (the daily-delta production path): components of
+    // the weight≥2 graph folded forward over the weight==1 delta edges via
+    // component-graph contraction — merge work is O(|delta|), never a
+    // re-traversal; result ≡ from-scratch CC on the full co-purchase graph
+    // (closure oracle over ALL edges) -----------------------------------
+    "cc_incr" -> ((s, dir) => {
+      val cp = TestGraphs.copurchase(s, dir)
+      val base = ConnectedComponents.run(s,
+        cp.where(col("weight") >= 2).select("src", "dst"), cfg(s)).state
+      ConnectedComponents.incremental(s, base,
+        cp.where(col("weight") < 2).select("src", "dst"), cfg(s))
+        .orderBy("id")
+    }),
+
     // --- double-sweep BFS diameter lower bound (integer-exact, one row);
     // both sweeps unrolled k rounds ≥ the measured eccentricities, the
     // DuckDB twin unrolls the same chains
@@ -304,6 +327,13 @@ object Queries {
     "lp5" -> ((s, dir) =>
       LabelPropagation.fixedRounds(und(s, dir), 5)
         .where(col("label").isNotNull).orderBy("id")),
+
+    // --- semi-supervised seeded LP: ids ≡ 0 (mod 10) hold their own label
+    // fixed; everyone else adopts the mode among LABELED neighbors — the
+    // curated-taxonomy-spread production shape; unreached vertices -1 ----
+    "lp_seeded" -> ((s, dir) =>
+      LabelPropagation.seededFixedRounds(und(s, dir), 5, 10L)
+        .orderBy("id")),
 
     // --- weighted LP: votes weighted by co-purchase multiplicity ----------
     "wlp5" -> ((s, dir) => {
@@ -501,6 +531,13 @@ object Queries {
     "token_count" -> ((s, dir) =>
       TextOps.tokenCounts(docs(s, dir)).orderBy("doc_id")),
 
+    // --- document length distribution (whitespace tokens) as exact
+    // discrete quantiles — the corpus-curation length-filter calibrator --
+    "doc_len_quantiles" -> ((s, dir) =>
+      graft.functions.Quantiles.discrete(
+        TextOps.tokenCounts(docs(s, dir)), "ws_tokens",
+        Seq(25, 50, 75, 90, 99)).orderBy("pct")),
+
     "doc_fingerprint" -> ((s, dir) =>
       TextOps.fingerprint(docs(s, dir)).orderBy("doc_id")),
 
@@ -651,6 +688,16 @@ object Queries {
       GraphOps.digraphProfile(dg).orderBy("n_vertices")
     }),
 
+    // --- directed triangle census on the same digraph: cyclic vs
+    // transitive closed-wedge instances, exact BIGINTs -------------------
+    "ditriangles" -> ((s, dir) => {
+      val cp = TestGraphs.copurchase(s, dir)
+      val dg = cp.where(col("weight") >= 2).select("src", "dst")
+        .unionByName(cp.where(col("weight") >= 3)
+          .select(col("dst").as("src"), col("src").as("dst")))
+      TriangleCount.directedCensus(dg).orderBy("cyclic3")
+    }),
+
     // --- truncated Katz centrality on the weight≥2 DAG (src<dst ⇒
     // acyclic): per-length walk counts + beta-attenuated numerator, all
     // exact integers (the hits4 unnormalized discipline) -------------------
@@ -706,6 +753,12 @@ object Queries {
     // roots within 4 hops, so the whole score is a long in both engines)
     "harmonic8" -> ((s, dir) =>
       Paths.harmonicFixedRounds(und(s, dir), 8, 4).orderBy("id")),
+
+    // --- truncated closeness over the same 8-root sample: exact integer
+    // (reached, sum_dist) pairs — closeness = reached/sum_dist left to the
+    // caller so no float crosses the gate -------------------------------
+    "closeness8" -> ((s, dir) =>
+      Paths.closenessFixedRounds(und(s, dir), 8, 4).orderBy("id")),
 
     // --- maximal independent set (Luby, md5 priorities — deterministic in
     // BOTH engines, unlike coloring's xxhash64): converged run; the oracle

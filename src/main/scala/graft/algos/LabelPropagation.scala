@@ -63,6 +63,43 @@ object LabelPropagation {
     labels
   }
 
+  /** Semi-supervised (seeded) label propagation: vertices with
+    * id % seedMod == 0 are SEEDS holding their own id as an immutable
+    * label; every other vertex starts unlabeled and each round adopts the
+    * mode label among its LABELED in-neighbors (count desc, smallest-label
+    * tie-break — the lp5 determinism discipline), keeping its previous
+    * label when no labeled neighbor votes. Labels only ever spread outward
+    * from seeds, so after k rounds a vertex is labeled iff it is within k
+    * hops of a seed; never-reached vertices report -1 (no NULL crosses the
+    * oracle gate). The k-round trajectory replays exactly in SQL.
+    *
+    * This is the production shape for propagating a small curated taxonomy
+    * (spam/license/topic tags on a few repos) over the whole link graph:
+    * the frontier is sparse early on, and each round is the same
+    * co-partitioned edge join as lp5.
+    */
+  def seededFixedRounds(edges: DataFrame, k: Int, seedMod: Long): DataFrame = {
+    val e = edges.select("src", "dst")
+      .transform(Lineage.cut(_, eager = true))
+    var labels = GraphOps.vertices(e).select(col("id"),
+      when(col("id") % seedMod === 0, col("id"))
+        .otherwise(lit(null).cast("long")).as("label"))
+    for (_ <- 1 to k) {
+      val msgs = e.join(labels.where(col("label").isNotNull)
+          .withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val best = msgs.groupBy(col("dst").as("id"))
+        .agg(max_by(col("label"),
+          struct(col("cnt"), (-col("label")).as("nl"))).as("newlabel"))
+      labels = labels.join(best, Seq("id"), "left_outer")
+        .select(col("id"),
+          when(col("id") % seedMod === 0, col("id"))
+            .otherwise(coalesce(col("newlabel"), col("label"))).as("label"))
+    }
+    labels.select(col("id"), coalesce(col("label"), lit(-1L)).as("label"))
+  }
+
   /** Weighted synchronous LP: neighbor votes weighted by edge weight
     * (Σ weight instead of count), ties broken toward the smallest label —
     * same determinism discipline as the unweighted mode, so exact-match

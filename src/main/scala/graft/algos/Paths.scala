@@ -68,6 +68,43 @@ object Paths {
     */
   def harmonicFixedRounds(edges: DataFrame, numRoots: Int,
                           k: Int, weighted: Boolean = false): DataFrame = {
+    val (verts, dist) = multiRootDistances(edges, numRoots, k, weighted)
+    val scores = dist.where(col("dist") > 0)
+      .groupBy("id")
+      .agg(sum(round(lit(1000000.0) / col("dist"), 0).cast("long"))
+        .as("harmonic"))
+    verts.join(scores, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("harmonic"), lit(0L)).as("harmonic"))
+  }
+
+  /** Truncated closeness centrality over the same root sample as
+    * [[harmonicFixedRounds]]: per vertex, the COUNT of sample roots reached
+    * within `k` hops and the exact integer SUM of those distances —
+    * closeness = reached / sum_dist is left to the caller so no float
+    * crosses the oracle gate (the modularity/lcc exact-rational
+    * discipline). Same scale shape: one co-partitioned join per level over
+    * dense (root, id) state.
+    */
+  def closenessFixedRounds(edges: DataFrame, numRoots: Int,
+                           k: Int): DataFrame = {
+    val (verts, dist) = multiRootDistances(edges, numRoots, k,
+      weighted = false)
+    val scores = dist.where(col("dist") > 0)
+      .groupBy("id")
+      .agg(count(lit(1)).as("reached"),
+        sum(col("dist").cast("long")).as("sum_dist"))
+    verts.join(scores, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("reached"), lit(0L)).as("reached"),
+        coalesce(col("sum_dist"), lit(0L)).as("sum_dist"))
+  }
+
+  /** Dense (root, id, dist) k-hop multi-root BFS / min-plus levels shared
+    * by the truncated-centrality family: roots = the `numRoots` smallest
+    * vertex ids, one materialized co-partitioned join per level. Returns
+    * (vertices, final distance table).
+    */
+  private def multiRootDistances(edges: DataFrame, numRoots: Int, k: Int,
+                                 weighted: Boolean): (DataFrame, DataFrame) = {
     val e = (
       if (weighted) edges.select(col("src"), col("dst"),
         col("weight").cast("double").as("w"))
@@ -92,12 +129,7 @@ object Paths {
           least(col("dist"), col("nd")).as("dist"))
       if (i < k) dist = dist.transform(Lineage.cut(_, eager = true))
     }
-    val scores = dist.where(col("dist") > 0)
-      .groupBy("id")
-      .agg(sum(round(lit(1000000.0) / col("dist"), 0).cast("long"))
-        .as("harmonic"))
-    verts.join(scores, Seq("id"), "left_outer")
-      .select(col("id"), coalesce(col("harmonic"), lit(0L)).as("harmonic"))
+    (verts, dist)
   }
 
   /** Double-sweep BFS diameter lower bound (the standard 2-BFS heuristic;

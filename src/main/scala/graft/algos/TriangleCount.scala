@@ -163,4 +163,33 @@ object TriangleCount {
         Seq("b", "d"), "left_semi")
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("cliques4"))
   }
+
+  /** Directed triangle census: cyclic (a→b→c→a) vs transitive (a→b→c plus
+    * the shortcut a→c) pattern-instance counts on a simple digraph — the
+    * two 3-walk closure shapes behind directed clustering/transitivity.
+    * Every directed wedge a→b→c is closed against the edge set once per
+    * pattern with a left-semi join (no payload moves); a cyclic triangle
+    * matches the wedge pattern at each of its 3 rotations, so the raw
+    * closed-wedge count divides exactly by 3 (integer `div` is lossless
+    * there). Self-pairs cannot appear: closing edges c→a / a→c exclude
+    * a = c because the input is self-loop-free. One row
+    * (cyclic3, transitive3), exact BIGINTs.
+    */
+  def directedCensus(edges: DataFrame): DataFrame = {
+    val e = GraphOps.simplify(edges.select("src", "dst"))
+      .transform(Lineage.cut(_, eager = true))
+    val e1 = e.select(col("src").as("a"), col("dst").as("b"))
+    val e2 = e.select(col("src").as("b"), col("dst").as("c"))
+    val wedges = e1.join(e2, "b").select("a", "c")
+    val cyc = wedges
+      .join(e.select(col("src").as("c"), col("dst").as("a")),
+        Seq("a", "c"), "left_semi")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("c3"))
+    val trans = wedges
+      .join(e.select(col("src").as("a"), col("dst").as("c")),
+        Seq("a", "c"), "left_semi")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("t3"))
+    cyc.crossJoin(trans)
+      .select(expr("c3 div 3").as("cyclic3"), col("t3").as("transitive3"))
+  }
 }
