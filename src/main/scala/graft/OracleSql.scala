@@ -710,8 +710,9 @@ object OracleSql {
          |  SELECT e.dst AS id, r.lbl FROM reach r JOIN e ON r.id = e.src)
          |SELECT id, min(lbl) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin,
 
-    // incremental CC ≡ from-scratch CC over old ∪ delta — the closure
-    // oracle on ALL co-purchase edges (no weight filter)
+    // incremental CC: the md5 edge hash only PARTITIONS edges between the
+    // base run and the delta fold — base ∪ delta = all edges, so the
+    // oracle is the plain closure over the unfiltered co-purchase graph
     "cc_incr" ->
       s"""WITH RECURSIVE cp AS ($CP),
          | e AS (SELECT src, dst FROM cp UNION SELECT dst, src FROM cp),

@@ -293,17 +293,19 @@ object Queries {
         ._1.orderBy("id")
     }),
 
-    // --- incremental CC (the daily-delta production path): components of
-    // the weight≥2 graph folded forward over the weight==1 delta edges via
-    // component-graph contraction — merge work is O(|delta|), never a
-    // re-traversal; result ≡ from-scratch CC on the full co-purchase graph
-    // (closure oracle over ALL edges) -----------------------------------
+    // --- incremental CC (the daily-delta production path): the full
+    // co-purchase graph is split by a deterministic md5 mod-50 edge hash
+    // (the doc_split discipline) into a ~98% base — "yesterday's graph",
+    // whose labels a pipeline already holds — and a ~2% delta; the delta
+    // folds into the base labels via component-graph contraction, merge
+    // work O(|delta|), never a re-traversal. Base ∪ delta = ALL edges, so
+    // the oracle is the plain closure over the unfiltered graph ----------
     "cc_incr" -> ((s, dir) => {
-      val cp = TestGraphs.copurchase(s, dir)
-      val base = ConnectedComponents.run(s,
-        cp.where(col("weight") >= 2).select("src", "dst"), cfg(s)).state
-      ConnectedComponents.incremental(s, base,
-        cp.where(col("weight") < 2).select("src", "dst"), cfg(s))
+      val cp = TestGraphs.copurchase(s, dir).select("src", "dst")
+      val inDelta =
+        GraphOps.md5Prio(concat_ws(":", col("src"), col("dst"))) % 50 === 0
+      val base = ConnectedComponents.run(s, cp.where(!inDelta), cfg(s)).state
+      ConnectedComponents.incremental(s, base, cp.where(inDelta), cfg(s))
         .orderBy("id")
     }),
 

@@ -151,6 +151,9 @@ object ConnectedComponents {
     val lab = labels.select(col("id"), col("component"))
       .transform(Lineage.cut(_, eager = true))
     val delta = GraphOps.simplify(deltaEdges.select("src", "dst"))
+      .transform(Lineage.cut(_, eager = true))
+    // materialized: stars() runs several actions (signature checks, round
+    // materializations) that would otherwise re-derive the delta joins
     val compEdges = delta
       .join(lab.select(col("id").as("src"), col("component").as("csrc")),
         Seq("src"), "left_outer")
@@ -160,6 +163,7 @@ object ConnectedComponents {
         coalesce(col("cdst"), col("dst")).as("dst"))
       .where(col("src") =!= col("dst"))
       .distinct()
+      .transform(Lineage.cut(_, eager = true))
     val merged = stars(spark, compEdges, cfg.numPartitions)._1
       .select(col("id").as("component"), col("component").as("newcomp"))
     val newVerts = GraphOps.vertices(delta)
