@@ -121,6 +121,39 @@ object OracleSql {
       .mkString(",\n ")
   }
 
+  /** Jones–Plassmann coloring rounds with md5Prio(id) priorities (needs
+    * e — symmetric, self-loop-free — and v in scope): per round the
+    * uncolored priority-local-maxima take the mex of their colored
+    * neighbors' palette. Strict `>` on the 60-bit prefix alone (the
+    * mis/matching collision-freeness argument; were two priorities equal,
+    * neither vertex would win — identically in both engines). The mex
+    * search range generate_series(0, #distinct used) mirrors Spark's
+    * sequence(0, size(used)) bound exactly.
+    */
+  private def jpRounds(k: Int): String = {
+    val init =
+      """u0 AS MATERIALIZED (SELECT id, ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))::BIGINT AS p FROM v),
+        | c0 AS (SELECT CAST(NULL AS BIGINT) AS id, CAST(NULL AS BIGINT) AS color WHERE 1 = 0)""".stripMargin
+    val rounds = (1 to k).map { i =>
+      s"""w$i AS MATERIALIZED (
+         |  SELECT u.id, u.p FROM u${i - 1} u LEFT JOIN (
+         |    SELECT e.dst AS id, max(un.p) AS mp FROM e JOIN u${i - 1} un ON e.src = un.id GROUP BY e.dst) m
+         |  ON u.id = m.id WHERE m.mp IS NULL OR u.p > m.mp),
+         | used$i AS MATERIALIZED (
+         |  SELECT e.src AS id, c.color FROM e JOIN c${i - 1} c ON c.id = e.dst
+         |  WHERE e.src IN (SELECT id FROM w$i)),
+         | mex$i AS MATERIALIZED (
+         |  SELECT cd.id, min(cd.g) AS color FROM (
+         |    SELECT w.id, unnest(generate_series(0, coalesce(n.nc, 0))) AS g
+         |    FROM w$i w LEFT JOIN (SELECT id, count(DISTINCT color) AS nc FROM used$i GROUP BY 1) n ON w.id = n.id) cd
+         |  WHERE NOT EXISTS (SELECT 1 FROM used$i u WHERE u.id = cd.id AND u.color = cd.g)
+         |  GROUP BY cd.id),
+         | c$i AS MATERIALIZED (SELECT id, color FROM c${i - 1} UNION ALL SELECT id, color FROM mex$i),
+         | u$i AS MATERIALIZED (SELECT u.id, u.p FROM u${i - 1} u WHERE u.id NOT IN (SELECT id FROM w$i))""".stripMargin
+    }
+    (init +: rounds).mkString(",\n ")
+  }
+
   /** Discrete-quantile tail over hist(v, cnt): prefix sum over the
     * distinct-value histogram, percentile_disc via integer ceil —
     * identical to [[graft.functions.Quantiles.discrete]]'s spelling.
@@ -626,6 +659,12 @@ object OracleSql {
          |SELECT src, dst, CAST(weight AS BIGINT) AS weight
          |FROM cp ORDER BY src, dst""".stripMargin,
 
+    // CSV round trip preserves the integral weights exactly, like JSON
+    "csv_roundtrip" ->
+      s"""WITH cp AS ($CP)
+         |SELECT src, dst, CAST(weight AS BIGINT) AS weight
+         |FROM cp ORDER BY src, dst""".stripMargin,
+
     // S4 resume: 3 supersteps + durable snapshot, resumed to 5 — the final
     // state equals pr5's straight 5-round trajectory
     "pr_resume" ->
@@ -906,6 +945,20 @@ object OracleSql {
 
     // directed dyad census + reciprocity + transitivity on the scc
     // digraph, all exact integers / exact rationals
+    // unipartite 4-cycle count: Σ C(cn,2) over diagonal pairs, // 2
+    // (two diagonals per C4); deg<=10000 hot-center cap mirrored
+    "rectangles" ->
+      s"""WITH cp AS MATERIALIZED ($CP),
+         | cpf AS (SELECT src, dst FROM cp WHERE weight >= 2),
+         | e AS MATERIALIZED (SELECT src, dst FROM cpf UNION SELECT dst, src FROM cpf),
+         | d AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+         | c AS MATERIALIZED (SELECT e.src, e.dst FROM e JOIN d ON d.src = e.src WHERE d.deg <= 10000),
+         | pairs AS (SELECT a.dst AS u, b.dst AS w, CAST(count(*) AS BIGINT) AS cn
+         |   FROM c a JOIN c b ON a.src = b.src AND a.dst < b.dst GROUP BY 1, 2)
+         |SELECT CAST(count(*) AS BIGINT) AS wedge_pairs,
+         |  CAST(coalesce(sum((cn*(cn-1))//2), 0) // 2 AS BIGINT) AS rectangles
+         |FROM pairs ORDER BY rectangles""".stripMargin,
+
     // exact discrete degree quantiles over the undirected degree table
     "deg_percentiles" ->
       s"""WITH $UND,
@@ -1204,6 +1257,17 @@ object OracleSql {
 
     // Luby MIS with md5 priorities, over-unrolled (ConvergenceProbe:
     // 4 rounds at sf0.01, 3 at sf0.1 — 8 = 2x margin)
+    // Jones–Plassmann coloring with md5 priorities, over-unrolled
+    // (ColoringRoundsProbe: 14 rounds at sf0.01, 6 at sf0.1 — 28 = 2x
+    // margin; extra rounds are no-ops once everyone is colored)
+    "coloring_md5" ->
+      s"""WITH cp AS MATERIALIZED ($CP),
+         | cpf AS (SELECT src, dst FROM cp WHERE weight >= 2),
+         | e AS MATERIALIZED (SELECT src, dst FROM cpf UNION SELECT dst, src FROM cpf),
+         | v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         | ${jpRounds(28)}
+         |SELECT id, CAST(color AS BIGINT) AS color FROM c28 ORDER BY id""".stripMargin,
+
     "mis" ->
       s"""WITH cp AS MATERIALIZED ($CP),
          | cpf AS (SELECT src, dst FROM cp WHERE weight >= 2),
@@ -1496,6 +1560,28 @@ object OracleSql {
         |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]', 0)) AS BIGINT) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // stratified per-language sample: md5 keyed by (pred_lang : doc_id)
+    // — per-stratum independent, deterministic in both engines
+    "stratified_sample" ->
+      s"""WITH $TOKS,
+         | sc AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(ts, x -> list_contains(['der','die','das','und','ist','nicht','ein'], x))) AS BIGINT) AS s_de,
+         |    CAST(len(list_filter(ts, x -> list_contains(['the','a','of','and','in','to','is'], x))) AS BIGINT) AS s_en,
+         |    CAST(len(list_filter(ts, x -> list_contains(['el','los','las','y','es','una','que'], x))) AS BIGINT) AS s_es,
+         |    CAST(len(list_filter(ts, x -> list_contains(['le','la','et','les','des','est','un'], x))) AS BIGINT) AS s_fr
+         |  FROM toks),
+         | lid AS (
+         |  SELECT doc_id,
+         |    CASE WHEN s_de >= greatest(s_en, s_es, s_fr) AND s_de > 0 THEN 'de'
+         |         WHEN s_en >= greatest(s_es, s_fr) AND s_en > 0 THEN 'en'
+         |         WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+         |         WHEN s_fr > 0 THEN 'fr' ELSE 'und' END AS pred_lang
+         |  FROM sc)
+         |SELECT doc_id, pred_lang FROM lid
+         |WHERE ('0x' || substr(md5(pred_lang || ':' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 5 = 0
+         |ORDER BY doc_id""".stripMargin,
 
     // document length distribution as exact discrete quantiles
     // (percentile_disc via histogram prefix sum — the Quantiles spelling)

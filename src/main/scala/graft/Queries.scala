@@ -168,6 +168,28 @@ object Queries {
       }
     }),
 
+    // --- CSV edge sink + source (S-family): explicit schema, header,
+    // no inferSchema pre-scan; shares jsonl_roundtrip's oracle semantics -
+    "csv_roundtrip" -> ((s, dir) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-csv").toString
+      try {
+        val csvDir = s"$base/edges"
+        TestGraphs.copurchase(s, dir)
+          .select(col("src"), col("dst"), col("weight"))
+          .write.mode("overwrite").option("header", "true").csv(csvDir)
+        GraphOps.readCsvEdges(s, csvDir)
+          .orderBy("src", "dst").localCheckpoint(true)
+      } finally {
+        import java.nio.file.{Files => F, Path}
+        import java.util.Comparator
+        val walk = F.walk(Path.of(base))
+        try walk.sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => F.deleteIfExists(p))
+        finally walk.close()
+      }
+    }),
+
     "edgelist_roundtrip" -> ((s, dir) => {
       val base = java.nio.file.Files
         .createTempDirectory("graft-edgelist").toString
@@ -533,6 +555,17 @@ object Queries {
     "token_count" -> ((s, dir) =>
       TextOps.tokenCounts(docs(s, dir)).orderBy("doc_id")),
 
+    // --- stratified per-language sampling: the md5 hash is keyed by
+    // (pred_lang : doc_id), so each stratum's ~20% sample is independent
+    // of the others and stable under corpus growth — the balanced
+    // training-mix primitive on top of doc_split's hash discipline -------
+    "stratified_sample" -> ((s, dir) =>
+      TextOps.langId(docs(s, dir))
+        .select(col("doc_id"), col("pred_lang"))
+        .where(GraphOps.md5Prio(
+          concat_ws(":", col("pred_lang"), col("doc_id"))) % 5 === 0)
+        .orderBy("doc_id")),
+
     // --- document length distribution (whitespace tokens) as exact
     // discrete quantiles — the corpus-curation length-filter calibrator --
     "doc_len_quantiles" -> ((s, dir) =>
@@ -690,6 +723,14 @@ object Queries {
       GraphOps.digraphProfile(dg).orderBy("n_vertices")
     }),
 
+    // --- unipartite 4-cycle (rectangle) count on the weight≥2 graph —
+    // butterflies' analog off the bipartite projection; exact BIGINTs ----
+    "rectangles" -> ((s, dir) =>
+      TriangleCount.rectangles(
+        TestGraphs.copurchase(s, dir).where(col("weight") >= 2)
+          .select("src", "dst"))
+        .orderBy("rectangles")),
+
     // --- directed triangle census on the same digraph: cyclic vs
     // transitive closed-wedge instances, exact BIGINTs -------------------
     "ditriangles" -> ((s, dir) => {
@@ -761,6 +802,19 @@ object Queries {
     // caller so no float crosses the gate -------------------------------
     "closeness8" -> ((s, dir) =>
       Paths.closenessFixedRounds(und(s, dir), 8, 4).orderBy("id")),
+
+    // --- Jones–Plassmann coloring under the FULL oracle: md5Prio
+    // priorities (the mis/matching discipline) have a byte-exact DuckDB
+    // twin where the xxhash64 default (`coloring`) is rows-only ----------
+    "coloring_md5" -> ((s, dir) =>
+      graft.algos.Coloring.run(s,
+        TestGraphs.copurchase(s, dir)
+          .where(col("weight") >= 2).select("src", "dst"),
+        numPartitions =
+          s.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+        md5Pri = true)
+        .select(col("id"), col("color").cast("long").as("color"))
+        .orderBy("id")),
 
     // --- maximal independent set (Luby, md5 priorities — deterministic in
     // BOTH engines, unlike coloring's xxhash64): converged run; the oracle

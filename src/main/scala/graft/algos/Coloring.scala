@@ -27,14 +27,29 @@ import graft.graph.GraphOps
 object Coloring {
 
   def run(spark: SparkSession, edges: DataFrame, maxRounds: Int = 60,
-          numPartitions: Int = 32): DataFrame = {
+          numPartitions: Int = 32, md5Pri: Boolean = false): DataFrame =
+    runWithRounds(spark, edges, maxRounds, numPartitions, md5Pri)._1
+
+  /** As [[run]], also returning the round count (probe/oracle-unroll aid).
+    * With `md5Pri` the priority order is the 60-bit md5 prefix of the id
+    * ([[GraphOps.md5Prio]] — the Mis/Matching discipline), which HAS a
+    * byte-exact DuckDB twin, so the md5 variant runs under the full
+    * oracle where the xxhash64 default is rows-only.
+    */
+  def runWithRounds(spark: SparkSession, edges: DataFrame,
+                    maxRounds: Int = 60, numPartitions: Int = 32,
+                    md5Pri: Boolean = false): (DataFrame, Int) = {
     // symmetrized simple adjacency: coloring is an undirected notion
     val e = GraphOps.symmetrize(edges.select("src", "dst"))
       .where(col("src") =!= col("dst"))
       .repartition(numPartitions, col("src"))
       .transform(Lineage.cut(_, eager = true))
+    val priExpr =
+      if (md5Pri)
+        struct(GraphOps.md5Prio(col("id").cast("string")), col("id"))
+      else struct(xxhash64(col("id")), col("id"))
     var uncolored = GraphOps.vertices(e)
-      .select(col("id"), struct(xxhash64(col("id")), col("id")).as("pri"))
+      .select(col("id"), priExpr.as("pri"))
       .repartition(numPartitions, col("id"))
       .transform(Lineage.cut(_, eager = true))
     var colored = spark.range(0).select(col("id"), lit(0).cast("int")
@@ -81,6 +96,6 @@ object Coloring {
         s"Coloring did not complete: $left vertices uncolored after " +
           s"$maxRounds rounds — raise maxRounds")
     }
-    colored
+    (colored, r)
   }
 }

@@ -164,6 +164,34 @@ object TriangleCount {
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("cliques4"))
   }
 
+  /** Unipartite 4-cycle (rectangle) count — [[butterflies]]' analog on a
+    * general graph: for each unordered DIAGONAL pair (u, w) with cn common
+    * neighbors, C(cn, 2) rectangles pass through it, and every C4 has
+    * exactly two diagonals, so Σ C(cn, 2) div 2 counts each once. Wedge
+    * pairs come from one center-keyed self-join with the deterministic
+    * maxDeg hot-center cap (wedge fan-out is Σ C(deg, 2) — hub-dominated
+    * on power-law graphs; the cap is mirrored in the oracle). One row
+    * (wedge_pairs, rectangles), exact BIGINTs.
+    */
+  def rectangles(edges: DataFrame, maxDeg: Long = 10000L): DataFrame = {
+    val und = GraphOps.symmetrize(edges.select("src", "dst"))
+      .where(col("src") =!= col("dst"))
+      .transform(Lineage.cut(_, eager = true))
+    val deg = und.groupBy("src")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("deg"))
+    val capped = und.join(deg.where(col("deg") <= maxDeg).select("src"),
+      Seq("src"), "left_semi")
+    val n1 = capped.select(col("src").as("ctr"), col("dst").as("u"))
+    val n2 = capped.select(col("src").as("ctr"), col("dst").as("w"))
+    val pairs = n1.join(n2, "ctr").where(col("u") < col("w"))
+      .groupBy("u", "w")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("cn"))
+    pairs.agg(
+        org.apache.spark.sql.functions.count(lit(1)).as("wedge_pairs"),
+        coalesce(sum(expr("(cn * (cn - 1)) div 2")), lit(0L)).as("dd"))
+      .select(col("wedge_pairs"), expr("dd div 2").as("rectangles"))
+  }
+
   /** Directed triangle census: cyclic (a→b→c→a) vs transitive (a→b→c plus
     * the shortcut a→c) pattern-instance counts on a simple digraph — the
     * two 3-walk closure shapes behind directed clustering/transitivity.

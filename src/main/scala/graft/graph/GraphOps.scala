@@ -365,6 +365,23 @@ object GraphOps {
       .select(col("src"), col("dst"),
         coalesce(col("weight"), lit(1L)).as("weight"))
 
+  /** CSV edge source (S-family format beside text, parquet, JSON-lines):
+    * explicit schema — no inferSchema, which would scan the whole input
+    * twice at 100 TB — header expected, malformed lines dropped
+    * (PERMISSIVE + null filter), absent weights default to 1. Integral
+    * weight preserved as LONG (the text format degrades it to DOUBLE).
+    */
+  def readCsvEdges(spark: org.apache.spark.sql.SparkSession,
+                   path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .schema("src LONG, dst LONG, weight LONG")
+      .csv(path)
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .select(col("src"), col("dst"),
+        coalesce(col("weight"), lit(1L)).as("weight"))
+
   /** 2-hop neighborhood size — |{u : 1 ≤ dist(v,u) ≤ 2}| per vertex (the
     * friend-of-friend reach every influence/audience estimate starts
     * from). Exact distinct count over the symmetrized simple graph: one
