@@ -729,6 +729,63 @@ object OracleSql {
          |SELECT src AS id, CAST(count(*) AS BIGINT) AS reach2
          |FROM r GROUP BY 1 ORDER BY id""".stripMargin,
 
+    // reach2 with the hot-mid degree cap engaged (maxMidDeg=8): wedges
+    // through a mid of degree > 8 are excluded in BOTH engines
+    "reach2_capped" ->
+      s"""WITH cp AS ($CP),
+         | cpf AS (SELECT src, dst FROM cp WHERE weight >= 2),
+         | e AS MATERIALIZED (SELECT src, dst FROM cpf UNION SELECT dst, src FROM cpf),
+         | d AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+         | m AS MATERIALIZED (SELECT e.src, e.dst FROM e JOIN d ON d.src = e.src WHERE d.deg <= 8),
+         | two AS (SELECT a.dst AS src, b.dst AS dst
+         |   FROM m a JOIN m b ON a.src = b.src WHERE a.dst <> b.dst),
+         | r AS (SELECT src, dst FROM e UNION SELECT src, dst FROM two)
+         |SELECT src AS id, CAST(count(*) AS BIGINT) AS reach2
+         |FROM r GROUP BY 1 ORDER BY id""".stripMargin,
+
+    // log2-bucketed degree histogram: bucket = binary-string length —
+    // integer-exact, no float log in either engine
+    "deg_hist" ->
+      s"""WITH $UND
+         |SELECT CAST(length(bin(outdeg)) AS BIGINT) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_vertices
+         |FROM d GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // component size distribution over the cc closure
+    "comp_sizes" ->
+      s"""WITH RECURSIVE cp AS ($CP),
+         | cpf AS (SELECT src, dst FROM cp WHERE weight >= 2),
+         | e AS (SELECT src, dst FROM cpf UNION SELECT dst, src FROM cpf),
+         | reach AS (
+         |  SELECT src AS id, src AS lbl FROM e
+         |  UNION
+         |  SELECT e.dst AS id, r.lbl FROM reach r JOIN e ON r.id = e.src),
+         | comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
+         | sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS csize FROM comp GROUP BY 1)
+         |SELECT csize, CAST(count(*) AS BIGINT) AS n_comps
+         |FROM sizes GROUP BY 1 ORDER BY csize""".stripMargin,
+
+    // snapshot diff: year-windowed co-purchase graphs full-outer diffed
+    "graph_diff" ->
+      """WITH sa AS MATERIALIZED (
+        |   SELECT DISTINCT l1.l_partkey AS src, l2.l_partkey AS dst
+        |   FROM lineitem l1 JOIN lineitem l2
+        |     ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+        |   JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        |   WHERE year(o.o_orderdate) BETWEEN 1995 AND 1998),
+        | sb AS MATERIALIZED (
+        |   SELECT DISTINCT l1.l_partkey AS src, l2.l_partkey AS dst
+        |   FROM lineitem l1 JOIN lineitem l2
+        |     ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+        |   JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        |   WHERE year(o.o_orderdate) BETWEEN 1997 AND 2001)
+        |SELECT coalesce(sa.src, sb.src) AS src,
+        |  coalesce(sa.dst, sb.dst) AS dst,
+        |  CAST(CASE WHEN sa.src IS NULL THEN 1 ELSE -1 END AS BIGINT) AS change
+        |FROM sa FULL OUTER JOIN sb ON sa.src = sb.src AND sa.dst = sb.dst
+        |WHERE sa.src IS NULL OR sb.src IS NULL
+        |ORDER BY src, dst""".stripMargin,
+
     // full core decomposition: 5 unrolled levels (max core 3 measured at
     // sf0.01, 2 at sf0.1) × 18 unrolled peel rounds each (max 9 measured —
     // CorenessProbe); coreness = max level survived, exact integers

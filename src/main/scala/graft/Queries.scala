@@ -60,6 +60,16 @@ object Queries {
         .orderBy("id")
     }),
 
+    // --- log2-bucketed degree histogram (the power-law profile plot's
+    // data): bucket = length of the binary representation — integer-exact
+    // in both engines (bin() string length), no float log ----------------
+    "deg_hist" -> ((s, dir) =>
+      und(s, dir).groupBy(col("src").as("id"))
+        .agg(count(lit(1)).as("deg"))
+        .groupBy(length(bin(col("deg"))).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_vertices"))
+        .orderBy("bucket")),
+
     // --- exact discrete degree quantiles via the histogram-prefix-sum
     // spelling (the window runs over distinct degree VALUES, never rows) --
     "deg_percentiles" -> ((s, dir) => {
@@ -286,6 +296,15 @@ object Queries {
         .where(col("weight") >= 2).select("src", "dst"))
         .orderBy("id")),
 
+    // --- reach2 with the documented hot-mid cap ENGAGED (maxMidDeg=8 —
+    // genuinely excludes hub mids on this graph): the scale path is
+    // driver-visible, not only a scaladoc promise; the cap predicate is a
+    // pure degree threshold, so the oracle mirrors it exactly ------------
+    "reach2_capped" -> ((s, dir) =>
+      GraphOps.twoHopReach(TestGraphs.copurchase(s, dir)
+        .where(col("weight") >= 2).select("src", "dst"), maxMidDeg = 8L)
+        .orderBy("id")),
+
     // --- multi-source BFS / graph-Voronoi landmark assignment over the
     // weight≥2 graph (~2% md5-sampled seeds; (dist, seed) min packed into
     // one BIGINT so every round is a plain hash-agg). Fixed-8 unroll:
@@ -329,6 +348,37 @@ object Queries {
       val base = ConnectedComponents.run(s, cp.where(!inDelta), cfg(s)).state
       ConnectedComponents.incremental(s, base, cp.where(inDelta), cfg(s))
         .orderBy("id")
+    }),
+
+    // --- component size distribution (the web-graph bowtie headline
+    // number): converged CC, then sizes, then size multiplicities --------
+    "comp_sizes" -> ((s, dir) => {
+      val cpf = TestGraphs.copurchase(s, dir)
+        .where(col("weight") >= 2).select("src", "dst")
+      ConnectedComponents.run(s, cpf, cfg(s)).state
+        .groupBy("component").agg(count(lit(1)).as("csize"))
+        .groupBy("csize").agg(count(lit(1)).as("n_comps"))
+        .orderBy("csize")
+    }),
+
+    // --- graph snapshot diff (the daily-ETL edge-churn report): the
+    // co-purchase graph windowed by order year — OLD = 1995–1998, NEW =
+    // 1997–2001 — full-outer diffed into ±1 change rows; both directions
+    // nonempty because the windows overlap but neither contains the other
+    "graph_diff" -> ((s, dir) => {
+      def snap(lo: Int, hi: Int): DataFrame = {
+        val li = TestGraphs.table(s, dir, "lineitem")
+          .select("l_orderkey", "l_partkey")
+        val ok = TestGraphs.table(s, dir, "orders")
+          .where(year(col("o_orderdate")).between(lo, hi))
+          .select(col("o_orderkey").as("l_orderkey"))
+        val filt = li.join(ok, Seq("l_orderkey"), "left_semi")
+        filt.toDF("ok", "src").join(filt.toDF("ok", "dst"), Seq("ok"))
+          .where(col("src") < col("dst"))
+          .select("src", "dst").distinct()
+      }
+      GraphOps.edgeDiff(snap(1995, 1998), snap(1997, 2001))
+        .orderBy("src", "dst")
     }),
 
     // --- double-sweep BFS diameter lower bound (integer-exact, one row);

@@ -396,15 +396,42 @@ object GraphOps {
     * ([[graft.functions.Cardinality]]) — exact distinct is the oracle
     * baseline here.
     */
-  def twoHopReach(edges: DataFrame): DataFrame = {
+  def twoHopReach(edges: DataFrame,
+                  maxMidDeg: Long = Long.MaxValue): DataFrame = {
     val e = symmetrize(edges).where(col("src") =!= col("dst"))
-    val two = e.toDF("src", "mid").join(e.toDF("mid", "dst"), Seq("mid"))
+    // deterministic hot-mid cap: wedges through a mid vertex of degree >
+    // maxMidDeg are skipped (its Σ deg² term dominates the fan-out on
+    // power-law graphs); direct 1-hop edges always count, so the result
+    // is a LOWER bound that degrades gracefully — and the cap predicate
+    // is a pure degree threshold, reproducible in the oracle
+    val mids =
+      if (maxMidDeg == Long.MaxValue) e
+      else {
+        val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+        e.join(deg.where(col("deg") <= maxMidDeg).select("src"),
+          Seq("src"), "left_semi")
+      }
+    val two = mids.toDF("mid", "src").join(mids.toDF("mid", "dst"), Seq("mid"))
       .where(col("src") =!= col("dst"))
       .select("src", "dst")
     e.union(two).distinct()
       .groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("reach2"))
   }
+
+  /** Snapshot edge diff — the daily-ETL churn report between two edge
+    * sets: +1 for edges only in `b` (added), -1 for edges only in `a`
+    * (removed); common edges are dropped before anything wide moves. One
+    * full-outer join on the edge key; at 100 TB both sides arrive
+    * hash-partitioned on (src, dst) so the join co-locates.
+    */
+  def edgeDiff(a: DataFrame, b: DataFrame): DataFrame =
+    a.select("src", "dst").withColumn("in_a", lit(1))
+      .join(b.select("src", "dst").withColumn("in_b", lit(1)),
+        Seq("src", "dst"), "full_outer")
+      .where(col("in_a").isNull || col("in_b").isNull)
+      .select(col("src"), col("dst"),
+        when(col("in_a").isNull, lit(1L)).otherwise(lit(-1L)).as("change"))
 
   /** Replicate frontier rows for hub vertices across their salts so the
     * salted join covers every sub-group: explode(sequence(0, nsalts-1)).
