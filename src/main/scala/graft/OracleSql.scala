@@ -166,6 +166,67 @@ object OracleSql {
        |FROM p JOIN cum ON cum.cum >= (((SELECT n FROM n) * pct + 99) // 100)
        |GROUP BY pct ORDER BY pct""".stripMargin
 
+  /** Exact-integer k-means (kmeans8 — [[graft.ann.KMeans]] twin): lattice
+    * quantization `floor(x·scale)+offset` (offset makes truncating `//`
+    * floor division), md5-seeded centroids, packed `dist²·16+cluster`
+    * argmin, floored-mean updates with empty-cluster coalesce. Unrolled to
+    * `iters` assignment rounds; internal HUGEINT sums are exact, outputs
+    * cast to BIGINT.
+    */
+  private def kmeansSql(k: Int, iters: Int, scale: Long,
+                        offset: Long): String = {
+    def assignCte(i: Int, cent: String): String =
+      s"""mm$i AS (SELECT cluster, sum(m*m) AS mm FROM $cent GROUP BY 1),
+         | dot$i AS (
+         |  SELECT q.vec_id, c.cluster, sum(q.q * c.m) AS dot
+         |  FROM quant q JOIN $cent c ON q.dim = c.dim GROUP BY 1, 2),
+         | a$i AS MATERIALIZED (
+         |  SELECT vec_id, CAST(p % 16 AS BIGINT) AS cluster,
+         |    CAST(p // 16 AS BIGINT) AS dist2 FROM (
+         |    SELECT d.vec_id,
+         |      min((n.qq - 2 * d.dot + m.mm) * 16 + d.cluster) AS p
+         |    FROM dot$i d JOIN qq n ON d.vec_id = n.vec_id
+         |    JOIN mm$i m ON d.cluster = m.cluster GROUP BY 1))""".stripMargin
+    def updateCte(i: Int, cent: String): String =
+      s"""u$i AS (
+         |  SELECT a.cluster, q.dim, CAST(sum(q.q) // count(*) AS BIGINT) AS m
+         |  FROM quant q JOIN a$i a ON q.vec_id = a.vec_id
+         |  GROUP BY 1, 2),
+         | c$i AS MATERIALIZED (
+         |  SELECT p.cluster, p.dim, coalesce(u.m, p.m) AS m
+         |  FROM $cent p LEFT JOIN u$i u
+         |    ON p.cluster = u.cluster AND p.dim = u.dim)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      val cent = if (i == 1) "c0" else s"c${i - 1}"
+      if (i < iters) assignCte(i, cent) + ",\n " + updateCte(i, cent)
+      else assignCte(i, cent)
+    }.mkString(",\n ")
+    s"""WITH quant AS MATERIALIZED (
+       |  SELECT vec_id, i - 1 AS dim,
+       |    CAST(floor(CAST(embedding[i] AS DOUBLE) * $scale) AS BIGINT)
+       |      + $offset AS q
+       |  FROM (SELECT vec_id, embedding,
+       |          unnest(generate_series(1, CAST(len(embedding) AS BIGINT)))
+       |            AS i
+       |        FROM embeddings)),
+       | qq AS MATERIALIZED (
+       |  SELECT vec_id, sum(q*q) AS qq FROM quant GROUP BY 1),
+       | seeds AS (
+       |  SELECT vec_id,
+       |    CAST(row_number() OVER (ORDER BY prio, vec_id) AS BIGINT) - 1
+       |      AS cluster
+       |  FROM (SELECT vec_id,
+       |          ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+       |            AS prio
+       |        FROM embeddings)
+       |  ORDER BY prio, vec_id LIMIT $k),
+       | c0 AS MATERIALIZED (
+       |  SELECT s.cluster, q.dim, q.q AS m
+       |  FROM seeds s JOIN quant q ON s.vec_id = q.vec_id),
+       | ${rounds}
+       |SELECT vec_id, cluster, dist2 FROM a$iters ORDER BY vec_id""".stripMargin
+  }
+
   /** Weighted-LP rounds: vote weight = Σ edge weight (needs e(src,dst,w)). */
   private def wlpRounds(k: Int): String = {
     val rounds = (1 to k).map { i =>
@@ -661,6 +722,12 @@ object OracleSql {
 
     // CSV round trip preserves the integral weights exactly, like JSON
     "csv_roundtrip" ->
+      s"""WITH cp AS ($CP)
+         |SELECT src, dst, CAST(weight AS BIGINT) AS weight
+         |FROM cp ORDER BY src, dst""".stripMargin,
+
+    // ORC round trip: columnar S-family format, integral weights exact
+    "orc_roundtrip" ->
       s"""WITH cp AS ($CP)
          |SELECT src, dst, CAST(weight AS BIGINT) AS weight
          |FROM cp ORDER BY src, dst""".stripMargin,
@@ -1618,6 +1685,40 @@ object OracleSql {
         |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]', 0)) AS BIGINT) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // per-doc boilerplate fraction: distinct 5-gram shingles recurring in
+    // >= 3 corpus docs, micro-unit ratio via truncating integer division
+    "boilerplate5" ->
+      s"""WITH $TOKS,
+         | ${shCte(5)},
+         | df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+         | per AS (
+         |  SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS grams,
+         |    CAST(sum(CASE WHEN df.df >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS dup_grams
+         |  FROM sh JOIN df ON sh.shingle = df.shingle GROUP BY 1)
+         |SELECT doc_id, grams, dup_grams,
+         |  dup_grams * 1000000 // grams AS frac_micro
+         |FROM per ORDER BY doc_id""".stripMargin,
+
+    // GPT-style sequence packing: md5-sharded concat-and-cut layout into
+    // 2048-token windows; one running-sum window partitioned by shard
+    "pack2048" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS tok,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS shard
+        |  FROM documents),
+        | c AS (
+        |  SELECT doc_id, shard, tok,
+        |    sum(tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |                   ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t WHERE tok > 0)
+        |SELECT doc_id, CAST(shard AS BIGINT) AS shard, tok,
+        |  CAST((cum - tok) // 2048 AS BIGINT) AS bin_first,
+        |  CAST((cum - 1) // 2048 AS BIGINT) AS bin_last,
+        |  CAST((cum - tok) % 2048 AS BIGINT) AS bin_off
+        |FROM c ORDER BY doc_id""".stripMargin,
+
     // stratified per-language sample: md5 keyed by (pred_lang : doc_id)
     // — per-stratum independent, deterministic in both engines
     "stratified_sample" ->
@@ -1727,6 +1828,10 @@ object OracleSql {
         |  md5(substr(text, 1, 64)) AS payload_md5,
         |  CAST(floor(octet_length(encode(substr(text, 1, 64))) / 16.0) AS BIGINT) + 1 AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // exact-integer Lloyd k-means over quantized embeddings: bit-exact
+    // twin of graft.ann.KMeans (k=8, two assignment rounds)
+    "kmeans8" -> kmeansSql(8, 2, 10000L, 10000L),
 
     "embed_neardup" ->
       s"""WITH pr AS (

@@ -200,6 +200,29 @@ object Queries {
       }
     }),
 
+    // --- ORC edge sink + source (S-family): the columnar format beside
+    // text / parquet / JSON-lines / CSV; explicit schema, integral weight
+    // preserved exactly -----------------------------------------------------
+    "orc_roundtrip" -> ((s, dir) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-orc").toString
+      try {
+        val orcDir = s"$base/edges"
+        TestGraphs.copurchase(s, dir)
+          .select(col("src"), col("dst"), col("weight"))
+          .write.mode("overwrite").orc(orcDir)
+        GraphOps.readOrcEdges(s, orcDir)
+          .orderBy("src", "dst").localCheckpoint(true)
+      } finally {
+        import java.nio.file.{Files => F, Path}
+        import java.util.Comparator
+        val walk = F.walk(Path.of(base))
+        try walk.sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => F.deleteIfExists(p))
+        finally walk.close()
+      }
+    }),
+
     "edgelist_roundtrip" -> ((s, dir) => {
       val base = java.nio.file.Files
         .createTempDirectory("graft-edgelist").toString
@@ -625,6 +648,26 @@ object Queries {
 
     "doc_fingerprint" -> ((s, dir) =>
       TextOps.fingerprint(docs(s, dir)).orderBy("doc_id")),
+
+    // --- per-doc boilerplate fraction: share of distinct 5-gram shingles
+    // recurring in ≥3 corpus docs, in integer micro-units — the template/
+    // chrome quality signal; df lookup on the shingle key, no pair join ---
+    "boilerplate5" -> ((s, dir) =>
+      TextOps.boilerplateFrac(docs(s, dir), 5, 3L).orderBy("doc_id")),
+
+    // --- GPT-style sequence-packing layout: md5-sharded concat-and-cut
+    // into 2048-token context windows; the one wide op is a running-sum
+    // window PARTITIONED BY shard (per-partition state, never a global
+    // sort) ----------------------------------------------------------------
+    "pack2048" -> ((s, dir) =>
+      TextOps.packBins(docs(s, dir), 2048L, 8L).orderBy("doc_id")),
+
+    // --- exact-integer Lloyd k-means over quantized embeddings (k=8, two
+    // assignment rounds, md5-seeded): corpus-curation clustering with a
+    // bit-exact DuckDB twin — micro-unit lattice coords, packed-BIGINT
+    // argmin, floored-mean centroids ----------------------------------------
+    "kmeans8" -> ((s, dir) =>
+      graft.ann.KMeans.run(s, emb(s, dir), 8, 2).orderBy("vec_id")),
 
     // --- composed training-data cleaning pipeline: language filter →
     // exact-dedup survivors → quality threshold, one declarative plan (the

@@ -382,6 +382,20 @@ object GraphOps {
       .select(col("src"), col("dst"),
         coalesce(col("weight"), lit(1L)).as("weight"))
 
+  /** ORC edge source (S-family format beside text / parquet / JSON-lines /
+    * CSV — the columnar alternative with identical pushdown/pruning
+    * behavior under Catalyst). Explicit schema; integral weights preserved
+    * exactly by the format.
+    */
+  def readOrcEdges(spark: org.apache.spark.sql.SparkSession,
+                   path: String): DataFrame =
+    spark.read
+      .schema("src LONG, dst LONG, weight LONG")
+      .orc(path)
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .select(col("src"), col("dst"),
+        coalesce(col("weight"), lit(1L)).as("weight"))
+
   /** 2-hop neighborhood size — |{u : 1 ≤ dist(v,u) ≤ 2}| per vertex (the
     * friend-of-friend reach every influence/audience estimate starts
     * from). Exact distinct count over the symmetrized simple graph: one

@@ -327,6 +327,72 @@ object TextOps {
       .agg(count(lit(1)).as("shared_ngrams"))
   }
 
+  /** Per-document boilerplate fraction — the share of a document's
+    * distinct word n-gram shingles that recur in at least `minDf` corpus
+    * documents (navigation chrome, license headers, template scaffolding:
+    * the spans a pretraining quality filter discounts even when the whole
+    * document is not a near-duplicate). `frac_micro` is the integer
+    * micro-unit ratio `dup·10⁶ div total` (the tfIdfTop no-float
+    * discipline); documents with fewer than n tokens have no shingles and
+    * are absent, so no division ever sees zero.
+    *
+    * Scale shape: one distinct-shingle explode, one df count shuffled on
+    * the shingle key, one semi-join-shaped df lookup back onto the same
+    * key, one per-doc agg — no pair join anywhere, so (unlike
+    * [[contamination]]) hot boilerplate grams cost a count, not a
+    * quadratic fan-out; AQE handles the stopword-gram skew.
+    */
+  def boilerplateFrac(docs: DataFrame, n: Int = 5, minDf: Long = 3L,
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val sh = shingleRows(docs, idCol, textCol, n)
+    val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    sh.join(df, Seq("shingle"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("grams"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("dup_grams"))
+      .select(col(idCol), col("grams"), col("dup_grams"),
+        expr("dup_grams * 1000000 div grams").as("frac_micro"))
+  }
+
+  /** Sequence-packing layout — where each document's tokens land when the
+    * corpus is concatenated shard-by-shard and cut into fixed
+    * `capacity`-token context windows (GPT-style pretraining packing:
+    * documents straddle window boundaries rather than padding). Documents
+    * are sharded by the md5 hash (the [[hashSplit]] discipline, so shards
+    * are stable under corpus growth) and packed in doc_id order within
+    * their shard:
+    *
+    *  - `bin_first` / `bin_last` — the first/last window the document
+    *    touches (within its shard),
+    *  - `bin_off` — the token offset inside `bin_first` where it starts.
+    *
+    * All integer-exact. Scale shape: the only wide op is ONE running-sum
+    * window PARTITIONED BY shard — per-partition state, never a global
+    * sort; more shards = more parallelism, which is exactly how a real
+    * packing job spreads across workers. Zero-token documents are dropped
+    * (they occupy no window).
+    */
+  def packBins(docs: DataFrame, capacity: Long, shards: Long = 8L,
+               idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    require(capacity >= 1, s"window capacity must be >= 1, got $capacity")
+    require(shards >= 1, s"need at least one shard, got $shards")
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokenCounts(docs, idCol, textCol)
+      .select(col(idCol), col("ws_tokens").as("tok"))
+      .where(col("tok") > 0L)
+      .withColumn("shard",
+        graft.graph.GraphOps.md5Prio(col(idCol).cast("string")) % shards)
+    val w = Window.partitionBy("shard").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks.withColumn("cum", sum(col("tok")).over(w))
+      .select(col(idCol), col("shard"), col("tok"),
+        expr(s"(cum - tok) div $capacity").as("bin_first"),
+        expr(s"(cum - 1) div $capacity").as("bin_last"),
+        ((col("cum") - col("tok")) % capacity).as("bin_off"))
+  }
+
   // --- fingerprinting ------------------------------------------------------
 
   /** k-min sketch fingerprint: the k lexicographically smallest md5 digests
