@@ -1067,6 +1067,43 @@ object OracleSql {
          |FROM reach r1 JOIN reach r2 ON r1.u = r2.v AND r1.v = r2.u
          |GROUP BY r1.u ORDER BY id""".stripMargin,
 
+    // per-edge triangle support incl. zero-support bridges: support of
+    // canonical edge (a,b) = |N(a) ∩ N(b)| over the symmetrized graph
+    "tri_support" ->
+      s"""WITH cp AS MATERIALIZED ($CP),
+         | c AS MATERIALIZED (SELECT src, dst FROM cp WHERE weight >= 2),
+         | e AS MATERIALIZED (SELECT src, dst FROM c UNION SELECT dst, src FROM c),
+         | supp AS (
+         |  SELECT c.src, c.dst, CAST(count(*) AS BIGINT) AS support
+         |  FROM c JOIN e e1 ON e1.src = c.src
+         |  JOIN e e2 ON e2.src = c.dst AND e2.dst = e1.dst
+         |  GROUP BY 1, 2)
+         |SELECT c.src, c.dst,
+         |  coalesce(s.support, CAST(0 AS BIGINT)) AS support
+         |FROM c LEFT JOIN supp s ON c.src = s.src AND c.dst = s.dst
+         |ORDER BY c.src, c.dst""".stripMargin,
+
+    // condensation DAG over the SCC labels (same mutual-reachability
+    // closure as the scc oracle): crossing-edge counts per component pair
+    "scc_condense" ->
+      s"""WITH RECURSIVE cp AS ($CP),
+         | e AS (SELECT src, dst FROM cp WHERE weight >= 2
+         |       UNION SELECT dst, src FROM cp WHERE weight >= 3),
+         | v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         | reach AS (
+         |  SELECT id AS u, id AS v FROM v
+         |  UNION
+         |  SELECT r.u, e.dst AS v FROM reach r JOIN e ON r.v = e.src),
+         | lab AS (
+         |  SELECT r1.u AS id, CAST(min(r1.v) AS BIGINT) AS scc
+         |  FROM reach r1 JOIN reach r2 ON r1.u = r2.v AND r1.v = r2.u
+         |  GROUP BY r1.u)
+         |SELECT a.scc AS src_scc, b.scc AS dst_scc,
+         |  CAST(count(*) AS BIGINT) AS xedges
+         |FROM e JOIN lab a ON e.src = a.id JOIN lab b ON e.dst = b.id
+         |WHERE a.scc <> b.scc
+         |GROUP BY 1, 2 ORDER BY src_scc, dst_scc""".stripMargin,
+
     // directed dyad census + reciprocity + transitivity on the scc
     // digraph, all exact integers / exact rationals
     // unipartite 4-cycle count: Σ C(cn,2) over diagonal pairs, // 2
@@ -1178,6 +1215,14 @@ object OracleSql {
          |  CAST(sum(cp.weight) AS BIGINT) AS wsum
          |FROM cp JOIN part p ON cp.src = p.p_partkey
          |GROUP BY 1 ORDER BY attr""".stripMargin,
+
+    // streaming heavy hitters: the complete-mode sort+limit's final batch
+    // equals the batch top-20 under the (cnt DESC, id ASC) total order
+    "stream_topk20" ->
+      s"""WITH cp AS ($CP),
+         | c AS (SELECT dst AS id, CAST(count(*) AS BIGINT) AS cnt
+         |       FROM cp GROUP BY 1)
+         |SELECT id, cnt FROM c ORDER BY cnt DESC, id LIMIT 20""".stripMargin,
 
     // neighbor-set Jaccard over the filtered symmetrized graph
     // overlap coefficient (inter / min-degree) in integer micro-units —
@@ -1684,6 +1729,22 @@ object OracleSql {
         |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]', 0)) AS BIGINT) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // within-doc 5-gram repetition ratio: repeated positions over total
+    // positions, integer micro-units; < 5-token docs have no positions
+    "repetition5" ->
+      s"""WITH $TOKS,
+         | ${shCte(5)},
+         | tot AS (
+         |  SELECT doc_id, CAST(len(ts) - 4 AS BIGINT) AS total
+         |  FROM toks WHERE len(ts) >= 5),
+         | dgr AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS distinct_grams
+         |  FROM sh GROUP BY 1)
+         |SELECT t.doc_id, t.total, d.distinct_grams,
+         |  (t.total - d.distinct_grams) * 1000000 // t.total AS rep_micro
+         |FROM tot t JOIN dgr d ON t.doc_id = d.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
 
     // per-doc boilerplate fraction: distinct 5-gram shingles recurring in
     // >= 3 corpus docs, micro-unit ratio via truncating integer division

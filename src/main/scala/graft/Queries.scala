@@ -515,6 +515,15 @@ object Queries {
           .select(col("p_partkey").as("id"), col("p_brand").as("attr")))
         .orderBy("attr")),
 
+    // Streaming heavy hitters (complete-mode sort+limit — the seventh
+    // streaming shape under the gate): top-20 in-degree vertices over the
+    // replayed edge stream ≡ the batch groupBy count top-k under the
+    // deterministic (cnt DESC, id ASC) total order.
+    "stream_topk20" -> ((s, dir) =>
+      graft.streaming.EdgeStream.topKCountsViaStream(
+        TestGraphs.copurchase(s, dir), 20)
+        .orderBy(col("cnt").desc, col("id").asc)),
+
     // Keyed-state streaming path (mapGroupsWithState, update mode) under
     // the oracle: per-vertex running out-degree counters drained over a
     // bounded replay — final state ≡ the batch out-degrees (the counter is
@@ -654,6 +663,11 @@ object Queries {
     // chrome quality signal; df lookup on the shingle key, no pair join ---
     "boilerplate5" -> ((s, dir) =>
       TextOps.boilerplateFrac(docs(s, dir), 5, 3L).orderBy("doc_id")),
+
+    // --- within-doc 5-gram repetition ratio (degenerate-text detector):
+    // pure per-row array expressions, zero shuffles --------------------------
+    "repetition5" -> ((s, dir) =>
+      TextOps.repetition(docs(s, dir), 5).orderBy("doc_id")),
 
     // --- GPT-style sequence-packing layout: md5-sharded concat-and-cut
     // into 2048-token context windows; the one wide op is a running-sum
@@ -883,6 +897,25 @@ object Queries {
       graft.algos.Truss.converged(TestGraphs.copurchase(s, dir)
         .where(col("weight") >= 2).select("src", "dst"), 3)
         ._1.orderBy("src", "dst")),
+
+    // --- per-edge triangle support incl. zero-support bridges (truss's
+    // round-0 table as a driver-visible edge-strength profile) -------------
+    "tri_support" -> ((s, dir) =>
+      graft.algos.Truss.edgeSupport(TestGraphs.copurchase(s, dir)
+        .where(col("weight") >= 2).select("src", "dst"))
+        .orderBy("src", "dst")),
+
+    // --- condensation DAG over the SCC labels: component-pair crossing
+    // edges — the cycles-contracted dependency graph (always acyclic) ------
+    "scc_condense" -> ((s, dir) => {
+      val cp = TestGraphs.copurchase(s, dir)
+      val dg = cp.where(col("weight") >= 2).select("src", "dst")
+        .unionByName(cp.where(col("weight") >= 3)
+          .select(col("dst").as("src"), col("src").as("dst")))
+      graft.algos.Scc.condensation(s, dg,
+        s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+        .orderBy("src_scc", "dst_scc")
+    }),
 
     // --- truncated harmonic centrality (multi-root BFS, integer-exact
     // micro-unit scores — sums of round(1e6/d) over the 8 smallest-id

@@ -254,4 +254,22 @@ object Scc {
     (done, Map("outer" -> outer, "trimRounds" -> trimTotal,
       "sweepRounds" -> sweepTotal, "maxSweep" -> maxSweep))
   }
+
+  /** Condensation DAG: one row per ordered component pair with at least
+    * one crossing edge, with the crossing-edge count — the
+    * cycles-contracted dependency graph an import/build analyzer runs
+    * layering and reachability on (contracting each SCC makes any digraph
+    * acyclic). Two label joins co-partitioned on the edge endpoints plus
+    * one pair-keyed count; the condensation is tiny relative to the input
+    * (≤ one row per surviving edge, usually orders of magnitude fewer).
+    */
+  def condensation(spark: SparkSession, edges: DataFrame,
+                   numPartitions: Int = 32): DataFrame = {
+    val labels = run(spark, edges, numPartitions)
+    edges.select("src", "dst")
+      .join(labels.toDF("src", "src_scc"), Seq("src"))
+      .join(labels.toDF("dst", "dst_scc"), Seq("dst"))
+      .where(col("src_scc") =!= col("dst_scc"))
+      .groupBy("src_scc", "dst_scc").agg(count(lit(1)).as("xedges"))
+  }
 }

@@ -23,6 +23,20 @@ import graft.graph.GraphOps
   */
 object Truss {
 
+  /** Per-edge triangle support (common-neighbor count) over a canonical
+    * (src<dst) simple edge set, INCLUDING zero-support edges — the
+    * cohesion profile (which edges are embedded in dense neighborhoods vs
+    * bridges) that truss peeling consumes as its round-0 table and that a
+    * pipeline reads directly for edge-strength features. One degree-
+    * oriented wedge enumeration (√(2m)-bounded fan-out) plus a coalescing
+    * left join back onto the edge list.
+    */
+  def edgeSupport(edges: DataFrame): DataFrame =
+    edges.select("src", "dst")
+      .join(supports(edges.select("src", "dst")), Seq("src", "dst"), "left")
+      .select(col("src"), col("dst"),
+        coalesce(col("support"), lit(0L)).as("support"))
+
   /** Per-edge triangle support over the current canonical (src<dst) edge
     * set. Edges in no triangle simply have no row (support 0).
     */

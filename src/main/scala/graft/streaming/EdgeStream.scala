@@ -191,6 +191,49 @@ object EdgeStream {
     }
   }
 
+  /** Streaming heavy hitters — the trending-items shape: top-k
+    * destination vertices by edge count over the whole stream so far,
+    * recomputed each micro-batch (complete output mode is the one mode
+    * that permits a streaming sort+limit, and the state it keeps is the
+    * per-vertex count map, not the stream). The final AvailableNow batch
+    * therefore equals the batch `groupBy(dst).count` top-k under the same
+    * deterministic (cnt DESC, id ASC) total order — count merges are
+    * order-independent, which is what lets the batch SQL twin gate this
+    * seventh streaming shape.
+    */
+  def topKCountsViaStream(edges: DataFrame, k: Int,
+                          splits: Int = 4): DataFrame = {
+    import org.apache.spark.sql.types._
+    val spark = edges.sparkSession
+    val tmp = java.nio.file.Files.createTempDirectory("graft-topk").toString
+    try {
+      edges.select(col("src"), col("dst"))
+        .repartition(splits).write.mode("overwrite").parquet(tmp)
+      val schema = StructType(Seq(
+        StructField("src", LongType), StructField("dst", LongType)))
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(tmp)
+      val agg = stream.groupBy(col("dst").as("id"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("id").asc).limit(k)
+      val name = s"graft_stream_topk_${runCounter.incrementAndGet()}"
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val out = spark.table(name).localCheckpoint(true)
+      spark.catalog.dropTempView(name)
+      out
+    } finally {
+      import java.nio.file.{Files => F, Path}
+      val walk = F.walk(Path.of(tmp))
+      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => F.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
   /** Exact running out-degree per vertex in keyed state; emits the updated
     * degree for every vertex touched in a micro-batch (Update output mode).
     */

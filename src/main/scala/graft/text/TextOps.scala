@@ -327,6 +327,26 @@ object TextOps {
       .agg(count(lit(1)).as("shared_ngrams"))
   }
 
+  /** Within-document n-gram repetition ratio — the degenerate-text
+    * detector (looping generations, copy-paste spam, keyword stuffing)
+    * every pretraining quality filter runs: of the `len(tokens) − n + 1`
+    * n-gram positions in the document, what fraction repeat an n-gram
+    * already seen in the same document. `rep_micro` is the integer
+    * micro-unit ratio `(total − distinct)·10⁶ div total`; documents with
+    * fewer than n tokens have no positions and are dropped, so the
+    * division never sees zero. Entirely per-row array expressions — zero
+    * shuffles at any corpus size.
+    */
+  def repetition(docs: DataFrame, n: Int = 5, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), tokens(col(textCol)).as("__ts"))
+      .select(col(idCol),
+        (size(col("__ts")) - (n - 1)).cast("long").as("total"),
+        size(shingles(col("__ts"), n)).cast("long").as("distinct_grams"))
+      .where(col("total") > 0L)
+      .select(col(idCol), col("total"), col("distinct_grams"),
+        expr("(total - distinct_grams) * 1000000 div total").as("rep_micro"))
+
   /** Per-document boilerplate fraction — the share of a document's
     * distinct word n-gram shingles that recur in at least `minDf` corpus
     * documents (navigation chrome, license headers, template scaffolding:
