@@ -1730,6 +1730,23 @@ object OracleSql {
         |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]', 0)) AS BIGINT) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // top-50 skip-gram co-occurrence pairs within a 7-token window,
+    // canonical (least, greatest) orientation, per-occurrence counts
+    "cooccur7" ->
+      s"""WITH $TOKS,
+         | p AS MATERIALIZED (
+         |  SELECT doc_id, i, ts[i] AS w FROM (
+         |   SELECT doc_id, ts,
+         |     unnest(generate_series(1, CAST(len(ts) AS BIGINT))) AS i
+         |   FROM toks)),
+         | pr AS (
+         |  SELECT least(a.w, b.w) AS w1, greatest(a.w, b.w) AS w2
+         |  FROM p a JOIN p b
+         |    ON a.doc_id = b.doc_id AND b.i - a.i BETWEEN 1 AND 7)
+         |SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt
+         |FROM pr GROUP BY 1, 2 ORDER BY cnt DESC, w1, w2 LIMIT 50"""
+        .stripMargin,
+
     // within-doc 5-gram repetition ratio: repeated positions over total
     // positions, integer micro-units; < 5-token docs have no positions
     "repetition5" ->
@@ -1893,6 +1910,58 @@ object OracleSql {
     // exact-integer Lloyd k-means over quantized embeddings: bit-exact
     // twin of graft.ann.KMeans (k=8, two assignment rounds)
     "kmeans8" -> kmeansSql(8, 2, 10000L, 10000L),
+
+    // strided keyframe sampling: 16-byte frames over the utf-8 payload
+    // (docs are pure ASCII, so the text twin is byte-identical), every
+    // 4th frame fingerprinted
+    "frame_sample4" ->
+      """WITH t AS (SELECT doc_id, substr(text, 1, 64) AS s FROM documents),
+        | f AS (
+        |  SELECT doc_id, s,
+        |    unnest(generate_series(0,
+        |      (CAST(len(s) AS BIGINT) + 15) // 16 - 1)) AS frame_idx
+        |  FROM t)
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(len(substr(s, CAST(frame_idx * 16 + 1 AS BIGINT), 16))
+        |    AS BIGINT) AS frame_bytes,
+        |  md5(substr(s, CAST(frame_idx * 16 + 1 AS BIGINT), 16))
+        |    AS frame_md5
+        |FROM f WHERE frame_idx % 4 = 0
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // deterministic md5-keyed negative edge sampling over the dense
+    // vertex-rank space (rank = row_number over the STRING-sorted id —
+    // the denseIds sort-pin twin); known edges rejected, first 2 trials
+    // kept per vertex
+    "neg_sample2" ->
+      s"""WITH cp AS ($CP),
+         | e AS MATERIALIZED (
+         |  SELECT src, dst FROM cp UNION SELECT dst, src FROM cp),
+         | v AS (SELECT DISTINCT src AS id FROM e),
+         | n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+         | r AS (
+         |  SELECT id, CAST(row_number()
+         |    OVER (ORDER BY CAST(id AS VARCHAR)) AS BIGINT) - 1 AS rk
+         |  FROM v),
+         | cand AS (
+         |  SELECT v.id, t.t,
+         |    ('0x' || substr(md5(CAST(v.id AS VARCHAR) || ':' ||
+         |      CAST(t.t AS VARCHAR)), 1, 15))::BIGINT % (SELECT n FROM n)
+         |      AS ci
+         |  FROM v, unnest(generate_series(0, 7)) AS t(t)),
+         | cu AS (
+         |  SELECT c.id, c.t, r.id AS neg
+         |  FROM cand c JOIN r ON c.ci = r.rk),
+         | ok AS (
+         |  SELECT cu.id, cu.t, cu.neg FROM cu
+         |  WHERE cu.neg <> cu.id AND NOT EXISTS (
+         |    SELECT 1 FROM e WHERE e.src = cu.id AND e.dst = cu.neg)),
+         | kk AS (
+         |  SELECT id, neg, t,
+         |    row_number() OVER (PARTITION BY id ORDER BY t) AS rn
+         |  FROM ok)
+         |SELECT id, neg AS neg_id, CAST(t AS BIGINT) AS trial
+         |FROM kk WHERE rn <= 2 ORDER BY id, trial""".stripMargin,
 
     "embed_neardup" ->
       s"""WITH pr AS (

@@ -600,6 +600,14 @@ object Queries {
         .orderBy(col("lift_micro").desc, col("gram"))
         .limit(50)),
 
+    // --- top-50 skip-gram co-occurrence pairs within a 7-token window
+    // (the word2vec training-pair corpus; per-distance equi-join legs,
+    // never a theta join) ----------------------------------------------------
+    "cooccur7" -> ((s, dir) =>
+      TextOps.cooccurrence(docs(s, dir), 7)
+        .orderBy(col("cnt").desc, col("w1"), col("w2"))
+        .limit(50)),
+
     // --- per-doc top-3 TF·IDF terms: idf as the integer micro-unit
     // inverse-df ratio (no float log crosses the gate — the link_pred
     // RA-over-Adamic-Adar reasoning) ---------------------------------------
@@ -819,6 +827,13 @@ object Queries {
         .orderBy(col("ra_micro").desc, col("cn").desc, col("u"), col("v"))
         .limit(100)),
 
+    // --- deterministic negative edge sampling (md5-keyed trials onto the
+    // dense vertex-rank space, known edges anti-joined out): the other
+    // half of a link-prediction / embedding training set ---------------------
+    "neg_sample2" -> ((s, dir) =>
+      LinkPrediction.negativeSample(und(s, dir), trials = 8, k = 2)
+        .orderBy("id", "trial")),
+
     // --- directed dyad census: reciprocity + transitivity as exact
     // rationals on the scc digraph (the one graph in the family with
     // reciprocated edges — the pure src<dst orientation has none) ---------
@@ -998,6 +1013,12 @@ object Queries {
     // --- multimodal plumbing ----------------------------------------------
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.payloadMeta(docs(s, dir)).orderBy("doc_id")),
+
+    // --- strided keyframe sampling over the binary payload: real
+    // byte-level BinaryType slicing + per-frame md5, shuffle-free ------------
+    "frame_sample4" -> ((s, dir) =>
+      Multimodal.frameSample(docs(s, dir), 16, 4)
+        .orderBy("doc_id", "frame_idx")),
 
     // --- similarity search -------------------------------------------------
     "embed_neardup" -> ((s, dir) =>

@@ -56,4 +56,47 @@ object LinkPrediction {
     pairs.join(und.select(col("src").as("u"), col("dst").as("v")),
       Seq("u", "v"), "left_anti")
   }
+
+  /** Deterministic negative edge sampling — the other half of a
+    * link-prediction / embedding training set (word2vec-style negatives):
+    * for every vertex, up to `k` NON-neighbors drawn by hashing
+    * (vertex : trial) onto the dense vertex-rank space and rejecting
+    * self-pairs and known edges. md5 keying makes the sample reproducible,
+    * engine-agnostic, and stable per vertex under re-runs; a near-complete
+    * vertex (adjacent to almost everything) may yield fewer than k rows —
+    * deterministically in both engines.
+    *
+    * Scale shape: ranks come from [[GraphOps.denseIds]] (two-phase,
+    * sort-pinned — no global window); candidates are |V|·trials rows
+    * joined on the rank key; the rejection is one left-anti join against
+    * the symmetrized edges on the SAME (id, neg) key the next aggregate
+    * uses; the keep-first-k window partitions by vertex (per-partition
+    * state, one vertex's ≤ trials rows).
+    *
+    * `edges` must be symmetrized; output (id, neg_id, trial).
+    */
+  def negativeSample(edges: DataFrame, trials: Int = 8,
+                     k: Int = 2): DataFrame = {
+    require(trials >= 1 && k >= 1, s"need trials/k >= 1, got $trials/$k")
+    import org.apache.spark.sql.expressions.Window
+    val v = edges.select(col("src").as("id")).distinct()
+    val ranks = GraphOps.denseIds(v)
+      .select(col("key").cast("long").as("neg"), col("id").as("ci"))
+      .transform(Lineage.cut(_, eager = true))
+    val n = ranks.count()
+    val cand = v
+      .select(col("id"), explode(sequence(lit(0), lit(trials - 1))).as("t"))
+      .select(col("id"), col("t"),
+        (GraphOps.md5Prio(concat_ws(":", col("id"), col("t"))) % n)
+          .as("ci"))
+    val ok = cand.join(ranks, Seq("ci"))
+      .where(col("neg") =!= col("id"))
+      .join(edges.select(col("src").as("id"), col("dst").as("neg")),
+        Seq("id", "neg"), "left_anti")
+    ok.withColumn("rn",
+        row_number().over(Window.partitionBy("id").orderBy("t")))
+      .where(col("rn") <= k)
+      .select(col("id"), col("neg").as("neg_id"),
+        col("t").cast("long").as("trial"))
+  }
 }

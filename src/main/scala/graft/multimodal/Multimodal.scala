@@ -59,6 +59,37 @@ object Multimodal {
       }
   }
 
+  /** Strided frame sampling over the opaque binary payload — the
+    * video-style keyframe-extraction shape (segment the byte stream into
+    * fixed `frameBytes` frames, keep every `stride`-th, fingerprint each):
+    * REAL byte-level plumbing end to end, no stub — `substring` on
+    * BinaryType slices bytes, `length` counts bytes, `md5` digests the
+    * slice, all codegen'd expressions. A real codec swaps in at the frame
+    * boundary without touching the plan (per-frame rows are exactly what a
+    * decode UDF batches over). The last frame may be short; every
+    * document's payload is ≥ 1 byte, so `sequence` never descends.
+    * Shuffle-free: one explode per row, everything else per-row
+    * expressions.
+    */
+  def frameSample(docs: DataFrame, frameBytes: Int = 16, stride: Int = 4,
+                  idCol: String = "doc_id", textCol: String = "text",
+                  bytesPrefix: Int = 64): DataFrame = {
+    require(frameBytes >= 1 && stride >= 1,
+      s"frameBytes/stride must be >= 1, got $frameBytes/$stride")
+    withPayload(docs, textCol, bytesPrefix)
+      .select(col(idCol), col("payload"),
+        expr(s"(length(payload) + ${frameBytes - 1}) div $frameBytes")
+          .cast("long").as("__nframes"))
+      .select(col(idCol), col("payload"),
+        explode(sequence(lit(0L), col("__nframes") - 1L)).as("frame_idx"))
+      .where(col("frame_idx") % stride === 0)
+      .select(col(idCol), col("frame_idx"),
+        length(expr(s"substring(payload, frame_idx * $frameBytes + 1, " +
+          s"$frameBytes)")).cast("long").as("frame_bytes"),
+        md5(expr(s"substring(payload, frame_idx * $frameBytes + 1, " +
+          s"$frameBytes)")).as("frame_md5"))
+  }
+
   /** Pure-expression metadata (no stub): byte length, md5, deterministic
     * fake frame count — the oracle-checkable slice of the multimodal path.
     */

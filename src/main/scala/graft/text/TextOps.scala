@@ -66,6 +66,37 @@ object TextOps {
     grams.groupBy("gram").agg(count(lit(1)).as("cnt"))
   }
 
+  /** Windowed token co-occurrence counts — the skip-gram pair corpus a
+    * word2vec-style embedding trainer consumes: every unordered token
+    * pair co-occurring within `window` positions, counted per occurrence
+    * (canonical (least, greatest) orientation so (a,b) and (b,a) merge).
+    * [[ngramCounts]] is the adjacent-only special case; this is the
+    * context-window generalization.
+    *
+    * Scale shape: one position self-join PER DISTANCE d ∈ 1..window, each
+    * co-partitioned on the bounded (doc_id, position) key, unioned and
+    * aggregated with map-side combine on the pair key — never a theta
+    * join (a `BETWEEN` range condition would plan as a nested loop). The
+    * position table is materialized once and reused by all `window` legs.
+    */
+  def cooccurrence(docs: DataFrame, window: Int, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val pos = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__ts"))
+      .select(col("doc_id"), posexplode(col("__ts")).as(Seq("i", "w")))
+      .localCheckpoint(true)
+    val legs = (1 to window).map { d =>
+      pos.select(col("doc_id"), (col("i") + d).as("i"), col("w").as("wa"))
+        .join(pos.select(col("doc_id"), col("i"), col("w").as("wb")),
+          Seq("doc_id", "i"))
+        .select(least(col("wa"), col("wb")).as("w1"),
+          greatest(col("wa"), col("wb")).as("w2"))
+    }
+    legs.reduce(_ unionByName _)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+  }
+
   /** Collocation lift per bigram — the PMI-family association score
     * re-expressed so no float (and no log) ever crosses the oracle gate:
     * with per-million occurrence rates `r_xy = cnt·10⁶ div Σcnt`,
