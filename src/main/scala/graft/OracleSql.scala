@@ -873,6 +873,52 @@ object OracleSql {
          |  SELECT e.dst AS id, r.lbl FROM reach r JOIN e ON r.id = e.src)
          |SELECT id, min(lbl) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin,
 
+    // streaming CC maintenance is a confluent per-batch incremental fold,
+    // so its oracle is cc's closure verbatim
+    "stream_cc" ->
+      s"""WITH RECURSIVE cp AS ($CP),
+         | cpf AS (SELECT src, dst FROM cp WHERE weight >= 2),
+         | e AS (SELECT src, dst FROM cpf UNION SELECT dst, src FROM cpf),
+         | reach AS (
+         |  SELECT src AS id, src AS lbl FROM e
+         |  UNION
+         |  SELECT e.dst AS id, r.lbl FROM reach r JOIN e ON r.id = e.src)
+         |SELECT id, min(lbl) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin,
+
+    // truncated odd-cycle profile: 8 unrolled HashMin-with-distance rounds
+    // over the packed root*2^20+dist state, then same-parity edge counts
+    "oddcycle8" -> {
+      val rounds = (1 to 8).map { i =>
+        s"""m$i AS (SELECT e.dst AS id, min(s.p + 1) AS np
+           |   FROM e JOIN s${i - 1} s ON e.src = s.id GROUP BY 1),
+           | s$i AS MATERIALIZED (
+           |  SELECT s.id,
+           |    CASE WHEN m.np IS NULL OR s.p <= m.np THEN s.p ELSE m.np END
+           |      AS p
+           |  FROM s${i - 1} s LEFT JOIN m$i m ON s.id = m.id)""".stripMargin
+      }.mkString(",\n ")
+      s"""WITH cp AS MATERIALIZED ($CP),
+         | c AS MATERIALIZED (SELECT src, dst FROM cp WHERE weight >= 2),
+         | e AS MATERIALIZED (SELECT src, dst FROM c UNION SELECT dst, src FROM c),
+         | v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         | s0 AS MATERIALIZED (SELECT id, id * 1048576 AS p FROM v),
+         | $rounds,
+         | fin AS MATERIALIZED (
+         |  SELECT id, CAST(p // 1048576 AS BIGINT) AS root,
+         |    CAST((p % 1048576) % 2 AS BIGINT) AS par FROM s8),
+         | odd AS (
+         |  SELECT f1.root AS comp, CAST(count(*) AS BIGINT) AS odd_edges
+         |  FROM c JOIN fin f1 ON c.src = f1.id JOIN fin f2 ON c.dst = f2.id
+         |  WHERE f1.root = f2.root AND f1.par = f2.par GROUP BY 1),
+         | reach AS (
+         |  SELECT root AS comp, CAST(count(*) AS BIGINT) AS reached
+         |  FROM fin GROUP BY 1)
+         |SELECT r.comp, r.reached,
+         |  coalesce(o.odd_edges, CAST(0 AS BIGINT)) AS odd_edges
+         |FROM reach r LEFT JOIN odd o ON r.comp = o.comp
+         |ORDER BY r.comp""".stripMargin
+    },
+
     // incremental CC: the md5 edge hash only PARTITIONS edges between the
     // base run and the delta fold — base ∪ delta = all edges, so the
     // oracle is the plain closure over the unfiltered co-purchase graph
@@ -1367,6 +1413,29 @@ object OracleSql {
          | v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
          | ${lpRounds(5)},
          | lab AS MATERIALIZED (SELECT id, label FROM l5),
+         | intra AS (SELECT CAST(count(*) AS BIGINT) AS inc FROM e
+         |   JOIN lab a ON a.id = e.src JOIN lab b ON b.id = e.dst
+         |   WHERE a.label = b.label),
+         | dcs AS (SELECT a.label, CAST(count(*) AS BIGINT) AS dcsum
+         |   FROM e JOIN lab a ON a.id = e.src GROUP BY 1),
+         | m2t AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM e)
+         |SELECT CAST(count(DISTINCT label) AS BIGINT) AS n_comms,
+         |  CAST((SELECT m2 FROM m2t) * (SELECT inc FROM intra)
+         |     - (SELECT CAST(sum(dcsum*dcsum) AS BIGINT) FROM dcs) AS BIGINT) AS q_num,
+         |  CAST((SELECT m2 FROM m2t) * (SELECT m2 FROM m2t) AS BIGINT) AS q_den
+         |FROM lab ORDER BY n_comms""".stripMargin,
+
+    // modularity of the part-brand partition (attribute homophily) over
+    // the unfiltered symmetrized co-purchase graph — lp5's exact-rational
+    // machinery with a metadata labeling
+    "modularity_brand" ->
+      s"""WITH cp AS MATERIALIZED ($CP),
+         | e AS MATERIALIZED (SELECT src, dst FROM (
+         |                    SELECT src, dst FROM cp
+         |                    UNION SELECT dst, src FROM cp)
+         |                    WHERE src <> dst),
+         | lab AS MATERIALIZED (
+         |  SELECT p_partkey AS id, p_brand AS label FROM part),
          | intra AS (SELECT CAST(count(*) AS BIGINT) AS inc FROM e
          |   JOIN lab a ON a.id = e.src JOIN lab b ON b.id = e.dst
          |   WHERE a.label = b.label),

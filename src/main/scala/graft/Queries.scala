@@ -339,6 +339,37 @@ object Queries {
         .orderBy("id")
     }),
 
+    // --- truncated odd-cycle / bipartiteness profile: per component,
+    // reached vertices + same-parity (odd-cycle-witness) edge count — one
+    // packed HashMin-with-distance sweep, 8 rounds -------------------------
+    "oddcycle8" -> ((s, dir) =>
+      Paths.oddCycleProfile(TestGraphs.copurchase(s, dir)
+        .where(col("weight") >= 2).select("src", "dst"), 8)
+        .orderBy("comp")),
+
+    // --- modularity of the BRAND partition (attribute homophily: do
+    // same-brand parts co-purchase?) — the exact-rational modularity
+    // machinery over a metadata labeling instead of a computed one ---------
+    "modularity_brand" -> ((s, dir) => {
+      val e = GraphOps.symmetrize(
+          TestGraphs.copurchase(s, dir).select("src", "dst"))
+        .where(col("src") =!= col("dst")).localCheckpoint(true)
+      Community.modularity(e,
+        TestGraphs.table(s, dir, "part")
+          .select(col("p_partkey").as("id"), col("p_brand").as("label")))
+        .orderBy("n_comms")
+    }),
+
+    // Streaming CC maintenance (the eighth streaming shape): per-batch
+    // incremental fold over the replayed edge stream; confluent, so the
+    // drained labels share cc's closure oracle verbatim.
+    "stream_cc" -> ((s, dir) =>
+      graft.streaming.EdgeStream.ccViaStream(
+        TestGraphs.copurchase(s, dir)
+          .where(col("weight") >= 2).select("src", "dst"),
+        s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+        .orderBy("id")),
+
     // --- connected components (A2): converged, exact ---------------------
     "cc" -> ((s, dir) => {
       val cpf = TestGraphs.copurchase(s, dir)

@@ -372,4 +372,50 @@ object Paths {
         expr(s"packed div ${Shift}L").as("dist"),
         expr(s"packed % ${Shift}L").as("seed"))
   }
+
+  /** Truncated odd-cycle / bipartiteness profile — per component: vertex
+    * count and the number of edges joining two vertices of the SAME BFS
+    * parity (an odd-parity edge witnesses an odd cycle; a component with
+    * zero such edges within the explored ball is bipartite there — the
+    * two-coloring / conflict-detection pass a signed or bipartite-layout
+    * pipeline runs first). One HashMin-with-distance sweep of `k` rounds:
+    * the state is ONE packed BIGINT `root·2²⁰ + dist`, so the lexicographic
+    * (min root, then min dist) update is a plain min hash-agg per round
+    * (the nearestSeeds packing discipline) and the DuckDB unroll is
+    * byte-exact at equal `k`. Truncation is honest: `root` is the smallest
+    * id within k hops and parities are relative to it, so undercounting —
+    * never false positives on a genuinely bipartite ball. Precondition:
+    * ids ∈ [0, 2⁴³) and k < 2²⁰.
+    *
+    * `canonEdges`: simple canonical (src<dst) edges; output
+    * (comp, reached, odd_edges) with each undirected edge counted once.
+    */
+  def oddCycleProfile(canonEdges: DataFrame, k: Int): DataFrame = {
+    val Shift = 1048576L // 2^20
+    val ce = canonEdges.select("src", "dst")
+      .transform(Lineage.cut(_, eager = true))
+    val e = GraphOps.symmetrize(ce).where(col("src") =!= col("dst"))
+      .transform(Lineage.cut(_, eager = true))
+    var st = GraphOps.vertices(e)
+      .select(col("id"), (col("id") * Shift).as("p"))
+    for (i <- 1 to k) {
+      val msgs = e.join(st.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(min(col("p") + 1L).as("np"))
+      st = st.join(msgs, Seq("id"), "left_outer")
+        .select(col("id"), least(col("p"), col("np")).as("p"))
+      if (i < k) st = st.transform(Lineage.cut(_, eager = true))
+    }
+    val fin = st.select(col("id"), expr(s"p div ${Shift}L").as("root"),
+        (expr(s"p % ${Shift}L") % 2L).as("par"))
+      .transform(Lineage.cut(_, eager = true))
+    val odd = ce
+      .join(fin.toDF("src", "rs", "ps"), Seq("src"))
+      .join(fin.toDF("dst", "rd", "pd"), Seq("dst"))
+      .where(col("rs") === col("rd") && col("ps") === col("pd"))
+      .groupBy(col("rs").as("comp")).agg(count(lit(1)).as("odd_edges"))
+    fin.groupBy(col("root").as("comp")).agg(count(lit(1)).as("reached"))
+      .join(odd, Seq("comp"), "left_outer")
+      .select(col("comp"), col("reached"),
+        coalesce(col("odd_edges"), lit(0L)).as("odd_edges"))
+  }
 }

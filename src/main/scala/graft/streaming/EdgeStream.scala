@@ -191,6 +191,55 @@ object EdgeStream {
     }
   }
 
+  /** Streaming connected-components maintenance — the "edges arrive,
+    * keep components current" production loop: edges replayed one file
+    * per micro-batch, each batch folded into the running label table with
+    * [[graft.algos.ConnectedComponents.incremental]] (component-graph
+    * contraction — merge work O(|batch|), one label rewrite per batch,
+    * never a from-scratch recompute). Incremental CC is confluent (the
+    * cc_incr union-find spec pins fold ≡ from-scratch), so the drained
+    * labels equal batch CC on the full edge set REGARDLESS of how the
+    * stream partitioned the edges — which is what lets cc's closure
+    * oracle gate this eighth streaming shape. Labels are
+    * localCheckpoint-pinned between batches (bounded lineage, and the
+    * state survives the replay dir's cleanup).
+    */
+  def ccViaStream(edges: DataFrame, numPartitions: Int = 32,
+                  splits: Int = 5): DataFrame = {
+    import org.apache.spark.sql.types._
+    val spark = edges.sparkSession
+    val tmp = java.nio.file.Files.createTempDirectory("graft-streamcc")
+      .toString
+    try {
+      edges.select(col("src"), col("dst"))
+        .repartition(splits).write.mode("overwrite").parquet(tmp)
+      val schema = StructType(Seq(
+        StructField("src", LongType), StructField("dst", LongType)))
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(tmp)
+      var labels = spark.range(0)
+        .select(col("id"), col("id").as("component"))
+      val cfg = graft.engine.SuperstepConfig(numPartitions = numPartitions)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          labels = graft.algos.ConnectedComponents
+            .incremental(spark, labels, batch, cfg)
+            .localCheckpoint(true)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      labels
+    } finally {
+      import java.nio.file.{Files => F, Path}
+      val walk = F.walk(Path.of(tmp))
+      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => F.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
   /** Streaming heavy hitters — the trending-items shape: top-k
     * destination vertices by edge count over the whole stream so far,
     * recomputed each micro-batch (complete output mode is the one mode
