@@ -174,44 +174,61 @@ object OracleSql {
     * cast to BIGINT.
     */
   private def kmeansSql(k: Int, iters: Int, scale: Long,
-                        offset: Long): String = {
+                        offset: Long): String =
+    s"""WITH ${kmeansCtes("", k, iters, scale, offset, 1, 0)}
+       |SELECT vec_id, cluster, dist2 FROM a$iters ORDER BY vec_id"""
+      .stripMargin
+
+  /** The k-means CTE chain with every CTE name prefixed by `p` so several
+    * instances compose in one statement (product quantization runs one per
+    * dimension subspace). `sliceFrom` (1-based) + `sliceLen` restrict the
+    * quantized coordinates to a subspace; `sliceLen = 0` means the whole
+    * vector. The final assignment table is `${p}a$iters`.
+    */
+  private def kmeansCtes(p: String, k: Int, iters: Int, scale: Long,
+                         offset: Long, sliceFrom: Int,
+                         sliceLen: Int): String = {
+    val hi =
+      if (sliceLen == 0) "CAST(len(embedding) AS BIGINT)"
+      else s"CAST(${sliceFrom + sliceLen - 1} AS BIGINT)"
     def assignCte(i: Int, cent: String): String =
-      s"""mm$i AS (SELECT cluster, sum(m*m) AS mm FROM $cent GROUP BY 1),
-         | dot$i AS (
+      s"""${p}mm$i AS (
+         |  SELECT cluster, sum(m*m) AS mm FROM $cent GROUP BY 1),
+         | ${p}dot$i AS (
          |  SELECT q.vec_id, c.cluster, sum(q.q * c.m) AS dot
-         |  FROM quant q JOIN $cent c ON q.dim = c.dim GROUP BY 1, 2),
-         | a$i AS MATERIALIZED (
+         |  FROM ${p}quant q JOIN $cent c ON q.dim = c.dim GROUP BY 1, 2),
+         | ${p}a$i AS MATERIALIZED (
          |  SELECT vec_id, CAST(p % 16 AS BIGINT) AS cluster,
          |    CAST(p // 16 AS BIGINT) AS dist2 FROM (
          |    SELECT d.vec_id,
          |      min((n.qq - 2 * d.dot + m.mm) * 16 + d.cluster) AS p
-         |    FROM dot$i d JOIN qq n ON d.vec_id = n.vec_id
-         |    JOIN mm$i m ON d.cluster = m.cluster GROUP BY 1))""".stripMargin
+         |    FROM ${p}dot$i d JOIN ${p}qq n ON d.vec_id = n.vec_id
+         |    JOIN ${p}mm$i m ON d.cluster = m.cluster GROUP BY 1))"""
+        .stripMargin
     def updateCte(i: Int, cent: String): String =
-      s"""u$i AS (
+      s"""${p}u$i AS (
          |  SELECT a.cluster, q.dim, CAST(sum(q.q) // count(*) AS BIGINT) AS m
-         |  FROM quant q JOIN a$i a ON q.vec_id = a.vec_id
+         |  FROM ${p}quant q JOIN ${p}a$i a ON q.vec_id = a.vec_id
          |  GROUP BY 1, 2),
-         | c$i AS MATERIALIZED (
+         | ${p}c$i AS MATERIALIZED (
          |  SELECT p.cluster, p.dim, coalesce(u.m, p.m) AS m
-         |  FROM $cent p LEFT JOIN u$i u
+         |  FROM $cent p LEFT JOIN ${p}u$i u
          |    ON p.cluster = u.cluster AND p.dim = u.dim)""".stripMargin
     val rounds = (1 to iters).map { i =>
-      val cent = if (i == 1) "c0" else s"c${i - 1}"
+      val cent = if (i == 1) s"${p}c0" else s"${p}c${i - 1}"
       if (i < iters) assignCte(i, cent) + ",\n " + updateCte(i, cent)
       else assignCte(i, cent)
     }.mkString(",\n ")
-    s"""WITH quant AS MATERIALIZED (
-       |  SELECT vec_id, i - 1 AS dim,
+    s"""${p}quant AS MATERIALIZED (
+       |  SELECT vec_id, i - $sliceFrom AS dim,
        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * $scale) AS BIGINT)
        |      + $offset AS q
        |  FROM (SELECT vec_id, embedding,
-       |          unnest(generate_series(1, CAST(len(embedding) AS BIGINT)))
-       |            AS i
+       |          unnest(generate_series($sliceFrom, $hi)) AS i
        |        FROM embeddings)),
-       | qq AS MATERIALIZED (
-       |  SELECT vec_id, sum(q*q) AS qq FROM quant GROUP BY 1),
-       | seeds AS (
+       | ${p}qq AS MATERIALIZED (
+       |  SELECT vec_id, sum(q*q) AS qq FROM ${p}quant GROUP BY 1),
+       | ${p}seeds AS (
        |  SELECT vec_id,
        |    CAST(row_number() OVER (ORDER BY prio, vec_id) AS BIGINT) - 1
        |      AS cluster
@@ -220,11 +237,32 @@ object OracleSql {
        |            AS prio
        |        FROM embeddings)
        |  ORDER BY prio, vec_id LIMIT $k),
-       | c0 AS MATERIALIZED (
+       | ${p}c0 AS MATERIALIZED (
        |  SELECT s.cluster, q.dim, q.q AS m
-       |  FROM seeds s JOIN quant q ON s.vec_id = q.vec_id),
-       | ${rounds}
-       |SELECT vec_id, cluster, dist2 FROM a$iters ORDER BY vec_id""".stripMargin
+       |  FROM ${p}seeds s JOIN ${p}quant q ON s.vec_id = q.vec_id),
+       | ${rounds}""".stripMargin
+  }
+
+  /** Product quantization: `m` disjoint `dsub`-dim subspaces, each an
+    * independent exact-integer k-means chain ([[kmeansCtes]] with a
+    * subspace slice), joined into per-vector code tuples + the summed
+    * reconstruction error.
+    */
+  private def pqSql(m: Int, dsub: Int, k: Int, iters: Int): String = {
+    val blocks = (0 until m)
+      .map(j => kmeansCtes(s"q${j}_", k, iters, 10000L, 10000L,
+        j * dsub + 1, dsub))
+      .mkString(",\n ")
+    val joins = (1 until m)
+      .map(j => s"JOIN q${j}_a$iters q$j ON q0.vec_id = q$j.vec_id")
+      .mkString("\n")
+    val codes = (0 until m).map(j => s"q$j.cluster AS c$j").mkString(", ")
+    val dsum = (0 until m).map(j => s"q$j.dist2").mkString(" + ")
+    s"""WITH $blocks
+       |SELECT q0.vec_id AS vec_id, $codes, $dsum AS dist2
+       |FROM q0_a$iters q0
+       |$joins
+       |ORDER BY vec_id""".stripMargin
   }
 
   /** Weighted-LP rounds: vote weight = Σ edge weight (needs e(src,dst,w)). */
@@ -1979,6 +2017,30 @@ object OracleSql {
     // exact-integer Lloyd k-means over quantized embeddings: bit-exact
     // twin of graft.ann.KMeans (k=8, two assignment rounds)
     "kmeans8" -> kmeansSql(8, 2, 10000L, 10000L),
+
+    // product quantization: 4 independent subspace k-means chains joined
+    // into code tuples + summed reconstruction error
+    "pq4" -> pqSql(4, 16, 4, 2),
+
+    // landmark distance oracle: 8-root/4-hop BFS tables (harmonic8's
+    // machinery), triangle-inequality min over common landmarks for the
+    // md5 mod-25 sampled pair set
+    "landmark_dist" ->
+      s"""WITH $UND,
+         | roots AS MATERIALIZED (SELECT id AS root FROM v ORDER BY id LIMIT 8),
+         | ${harmonicRounds(4)},
+         | dt AS (SELECT root, id, CAST(dist AS BIGINT) AS d
+         |   FROM h4 WHERE dist IS NOT NULL),
+         | sm AS (SELECT id FROM v
+         |   WHERE ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))::BIGINT
+         |     % 25 = 0),
+         | da AS (SELECT dt.root, dt.id AS a, dt.d AS dla
+         |   FROM dt JOIN sm ON dt.id = sm.id),
+         | db AS (SELECT dt.root, dt.id AS b, dt.d AS dlb
+         |   FROM dt JOIN sm ON dt.id = sm.id)
+         |SELECT da.a, db.b, CAST(min(da.dla + db.dlb) AS BIGINT) AS est_dist
+         |FROM da JOIN db ON da.root = db.root WHERE da.a < db.b
+         |GROUP BY 1, 2 ORDER BY a, b""".stripMargin,
 
     // strided keyframe sampling: 16-byte frames over the utf-8 payload
     // (docs are pure ASCII, so the text twin is byte-identical), every

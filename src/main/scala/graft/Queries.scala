@@ -722,6 +722,12 @@ object Queries {
     "kmeans8" -> ((s, dir) =>
       graft.ann.KMeans.run(s, emb(s, dir), 8, 2).orderBy("vec_id")),
 
+    // --- product quantization (4 × 16-dim subspaces, k=4 codebooks):
+    // per-vector code tuple + exact summed reconstruction error — the
+    // vector-compression primitive behind ADC search ------------------------
+    "pq4" -> ((s, dir) =>
+      graft.ann.KMeans.pq(s, emb(s, dir), 4, 16, 4, 2).orderBy("vec_id")),
+
     // --- composed training-data cleaning pipeline: language filter →
     // exact-dedup survivors → quality threshold, one declarative plan (the
     // operators fuse; Catalyst shares the token-array projection) ---------
@@ -968,6 +974,11 @@ object Queries {
     // roots within 4 hops, so the whole score is a long in both engines)
     "harmonic8" -> ((s, dir) =>
       Paths.harmonicFixedRounds(und(s, dir), 8, 4).orderBy("id")),
+
+    // --- landmark distance oracle over the same 8-root/4-hop tables:
+    // triangle-inequality upper bounds for the md5-sampled pair set --------
+    "landmark_dist" -> ((s, dir) =>
+      Paths.landmarkDistances(und(s, dir), 8, 4, 25L).orderBy("a", "b")),
 
     // --- truncated closeness over the same 8-root sample: exact integer
     // (reached, sum_dist) pairs — closeness = reached/sum_dist left to the

@@ -373,6 +373,37 @@ object Paths {
         expr(s"packed % ${Shift}L").as("seed"))
   }
 
+  /** Landmark distance oracle (the standard web-graph shortest-path
+    * estimator): precompute truncated BFS distances from `numRoots`
+    * landmarks, then answer pair queries with the triangle-inequality
+    * upper bound `est(a,b) = min_l d(l,a) + d(l,b)`. Pairs are the
+    * md5-sampled vertex subset (the doc_split hash discipline — stable
+    * under graph growth); a pair with no common landmark within `k` hops
+    * has no estimate and is absent. All integer-exact.
+    *
+    * Scale shape: the landmark table is one multi-root BFS
+    * (O(numRoots·|V|) rows); the pair estimates come from a self-join ON
+    * THE LANDMARK KEY — fan-out bounded by numRoots · sample², never
+    * |V|² — followed by a min hash-agg on the pair key.
+    */
+  def landmarkDistances(edges: DataFrame, numRoots: Int, k: Int,
+                        sampleMod: Long): DataFrame = {
+    val (verts, dist) =
+      multiRootDistances(edges, numRoots, k, weighted = false)
+    val d = dist.where(col("dist").isNotNull)
+      .select(col("root"), col("id"), col("dist").cast("long").as("d"))
+      .transform(Lineage.cut(_, eager = true))
+    val sample = verts
+      .where(GraphOps.md5Prio(col("id").cast("string")) % sampleMod === 0)
+      .select("id")
+    val da = d.join(sample, Seq("id"), "left_semi")
+      .select(col("root"), col("id").as("a"), col("d").as("dla"))
+    val db = d.join(sample, Seq("id"), "left_semi")
+      .select(col("root"), col("id").as("b"), col("d").as("dlb"))
+    da.join(db, Seq("root")).where(col("a") < col("b"))
+      .groupBy("a", "b").agg(min(col("dla") + col("dlb")).as("est_dist"))
+  }
+
   /** Truncated odd-cycle / bipartiteness profile — per component: vertex
     * count and the number of edges joining two vertices of the SAME BFS
     * parity (an odd-parity edge witnesses an odd cycle; a component with

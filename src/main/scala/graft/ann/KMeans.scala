@@ -113,4 +113,35 @@ object KMeans {
     }
     asg
   }
+
+  /** Product quantization — the embedding-compression primitive behind
+    * every large-scale vector index (Jégou, Douze & Schmid, TPAMI 2011):
+    * the vector splits into `m` disjoint `dsub`-dim subspaces, each
+    * subspace gets its own exact-integer [[run]] codebook, and the vector
+    * is stored as the m-tuple of centroid codes (here m·2 bits instead of
+    * dsub·m floats). Returns (vec_id, c0..c{m-1}, dist2) where dist2 is
+    * the summed per-subspace squared quantization error — the exact
+    * reconstruction error of the code, and the quantity an ADC search
+    * accumulates from lookup tables. Every subspace chain is bit-exact in
+    * DuckDB, so the full code table crosses the oracle gate.
+    *
+    * Scale shape: m independent k-means chains over n·dsub-row slices
+    * (same per-round O(n·k) grouped shuffle as [[run]]), then an m-way
+    * co-partitioned join on vec_id.
+    */
+  def pq(spark: SparkSession, vecs: DataFrame, m: Int, dsub: Int, k: Int,
+         iters: Int): DataFrame = {
+    require(m >= 1 && dsub >= 1, s"need m/dsub >= 1, got $m/$dsub")
+    val subs = (0 until m).map { j =>
+      run(spark,
+        vecs.select(col("vec_id"),
+          slice(col("embedding"), j * dsub + 1, dsub).as("embedding")),
+        k, iters)
+        .select(col("vec_id"), col("cluster").as(s"c$j"),
+          col("dist2").as(s"__d$j"))
+    }
+    subs.reduce(_.join(_, Seq("vec_id")))
+      .select(col("vec_id") +: (0 until m).map(j => col(s"c$j")) :+
+        (0 until m).map(j => col(s"__d$j")).reduce(_ + _).as("dist2"): _*)
+  }
 }

@@ -237,6 +237,42 @@ object Oracles {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
 
+  /** Sequential Lloyd with graft.ann.KMeans' exact semantics: lattice
+    * quantization, md5-prio seeds, packed argmin, floored-mean updates,
+    * empty-cluster coalesce. Returns vec_id -> (cluster, dist2).
+    */
+  def bruteKMeans(vecs: Seq[(Long, Array[Float])], k: Int, iters: Int,
+                  scale: Long, offset: Long): Map[Long, (Long, Long)] = {
+    val quant: Map[Long, Array[Long]] = vecs.map { case (id, v) =>
+      id -> v.map(x => math.floor(x.toDouble * scale).toLong + offset)
+    }.toMap
+    val seeds = vecs.map(_._1)
+      .sortBy(id => (md5Prio(id.toString), id)).take(k)
+    var cent: Map[Long, Array[Long]] =
+      seeds.zipWithIndex.map { case (id, c) => c.toLong -> quant(id) }.toMap
+    def d2(q: Array[Long], m: Array[Long]): Long =
+      q.indices.map(i => (q(i) - m(i)) * (q(i) - m(i))).sum
+    var asg: Map[Long, (Long, Long)] = Map.empty
+    for (i <- 1 to iters) {
+      asg = quant.map { case (id, q) =>
+        val p = cent.map { case (c, m) => d2(q, m) * 16L + c }.min
+        id -> ((p % 16, p / 16))
+      }
+      if (i < iters) {
+        val members = quant.keys.toSeq.groupBy(id => asg(id)._1)
+        cent = cent.map { case (c, old) =>
+          members.get(c) match {
+            case Some(ids) =>
+              c -> old.indices
+                .map(d => ids.map(quant(_)(d)).sum / ids.size).toArray
+            case None => c -> old
+          }
+        }
+      }
+    }
+    asg
+  }
+
   /** The engine's 60-bit md5-prefix BIGINT priority (GraphOps.md5Prio). */
   def md5Prio(s: String): Long =
     java.lang.Long.parseLong(md5hex(s).substring(0, 15), 16)

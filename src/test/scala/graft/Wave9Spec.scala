@@ -13,42 +13,13 @@ class Wave9Spec extends SparkSpec {
 
   // ---- exact-integer k-means ------------------------------------------------
 
-  /** Sequential Lloyd with the engine's exact semantics: lattice
-    * quantization, md5-prio seeds, packed argmin, floored-mean updates,
-    * empty-cluster coalesce. Returns vec_id -> (cluster, dist2).
+  /** Sequential Lloyd reference lives in [[Oracles.bruteKMeans]] (shared
+    * with the product-quantization spec).
     */
   private def bruteKMeans(vecs: Seq[(Long, Array[Float])], k: Int,
                           iters: Int, scale: Long,
-                          offset: Long): Map[Long, (Long, Long)] = {
-    val quant: Map[Long, Array[Long]] = vecs.map { case (id, v) =>
-      id -> v.map(x => math.floor(x.toDouble * scale).toLong + offset)
-    }.toMap
-    val seeds = vecs.map(_._1)
-      .sortBy(id => (Oracles.md5Prio(id.toString), id)).take(k)
-    var cent: Map[Long, Array[Long]] =
-      seeds.zipWithIndex.map { case (id, c) => c.toLong -> quant(id) }.toMap
-    def d2(q: Array[Long], m: Array[Long]): Long =
-      q.indices.map(i => (q(i) - m(i)) * (q(i) - m(i))).sum
-    var asg: Map[Long, (Long, Long)] = Map.empty
-    for (i <- 1 to iters) {
-      asg = quant.map { case (id, q) =>
-        val p = cent.map { case (c, m) => d2(q, m) * 16L + c }.min
-        id -> ((p % 16, p / 16))
-      }
-      if (i < iters) {
-        val members = quant.keys.toSeq.groupBy(id => asg(id)._1)
-        cent = cent.map { case (c, old) =>
-          members.get(c) match {
-            case Some(ids) =>
-              c -> old.indices
-                .map(d => ids.map(quant(_)(d)).sum / ids.size).toArray
-            case None => c -> old
-          }
-        }
-      }
-    }
-    asg
-  }
+                          offset: Long): Map[Long, (Long, Long)] =
+    Oracles.bruteKMeans(vecs, k, iters, scale, offset)
 
   private def collectKm(df: org.apache.spark.sql.DataFrame)
   : Map[Long, (Long, Long)] =
