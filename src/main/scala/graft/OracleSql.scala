@@ -1793,6 +1793,60 @@ object OracleSql {
     // inclusive); epoch-micro starts, integer cents. stream_sessions is
     // the session_window spelling of the same merge rule and shares this
     // statement verbatim.
+    // ordered conversion funnel: chained strictly-after first-hit mins,
+    // -1 sentinels; epoch micros only
+    "funnel3" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        | users AS (SELECT DISTINCT user_id FROM e),
+        | s1 AS (SELECT user_id, min(us) AS t1 FROM e
+        |   WHERE event_type = 'view' GROUP BY 1),
+        | s2 AS (SELECT e.user_id, min(e.us) AS t2
+        |   FROM e JOIN s1 ON e.user_id = s1.user_id
+        |   WHERE e.event_type = 'click' AND e.us > s1.t1 GROUP BY 1),
+        | s3 AS (SELECT e.user_id, min(e.us) AS t3
+        |   FROM e JOIN s2 ON e.user_id = s2.user_id
+        |   WHERE e.event_type = 'purchase' AND e.us > s2.t2 GROUP BY 1)
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+        |            WHEN s2.t2 IS NOT NULL THEN 2
+        |            WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS stage,
+        |  coalesce(s1.t1, -1) AS t1, coalesce(s2.t2, -1) AS t2,
+        |  coalesce(s3.t3, -1) AS t3
+        |FROM users u
+        |LEFT JOIN s1 ON u.user_id = s1.user_id
+        |LEFT JOIN s2 ON u.user_id = s2.user_id
+        |LEFT JOIN s3 ON u.user_id = s3.user_id
+        |ORDER BY u.user_id""".stripMargin,
+
+    // day-k retention cohorts over integer epoch days
+    "retention" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        | fst AS (SELECT user_id, min(day) AS cohort_day
+        |   FROM act GROUP BY 1),
+        | flags AS (
+        |  SELECT a.user_id, f.cohort_day,
+        |    max(CASE WHEN a.day = f.cohort_day + 1 THEN 1 ELSE 0 END) AS f1,
+        |    max(CASE WHEN a.day = f.cohort_day + 7 THEN 1 ELSE 0 END) AS f7
+        |  FROM act a JOIN fst f ON a.user_id = f.user_id GROUP BY 1, 2)
+        |SELECT CAST(cohort_day AS BIGINT) AS cohort_day,
+        |  CAST(count(*) AS BIGINT) AS users, CAST(sum(f1) AS BIGINT) AS d1,
+        |  CAST(sum(f7) AS BIGINT) AS d7
+        |FROM flags GROUP BY 1 ORDER BY cohort_day""".stripMargin,
+
+    // JSON property rollup: the json-extension twin of get_json_object
+    "props_rollup" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(k) AS BIGINT) AS k_sum, CAST(min(k) AS BIGINT) AS k_min,
+        |  CAST(max(k) AS BIGINT) AS k_max
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "sessionize" -> SessionizeSql,
 
     "stream_sessions" -> SessionizeSql,

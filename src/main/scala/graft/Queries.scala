@@ -602,6 +602,24 @@ object Queries {
     // session_window merge semantics — stream_sessions shares the same
     // oracle shape); epoch-micro starts + integer cents, so nothing float
     // crosses the gate -----------------------------------------------------
+    // --- ordered conversion funnel view → click → purchase: stage reached
+    // + first-hit epoch micros per user (−1 sentinels, min-agg ties) --------
+    "funnel3" -> ((s, dir) =>
+      graft.events.Analytics.funnel(TestGraphs.table(s, dir, "events"),
+        "view", "click", "purchase").orderBy("user_id")),
+
+    // --- day-k retention cohorts (first-activity epoch day; users still
+    // active exactly 1 / 7 days later) — integer day arithmetic only -------
+    "retention" -> ((s, dir) =>
+      graft.events.Analytics.retention(TestGraphs.table(s, dir, "events"))
+        .orderBy("cohort_day")),
+
+    // --- JSON property extraction + rollup (get_json_object, codegen'd;
+    // DuckDB twins via its json extension) ----------------------------------
+    "props_rollup" -> ((s, dir) =>
+      graft.events.Analytics.propsRollup(TestGraphs.table(s, dir, "events"))
+        .orderBy("event_type")),
+
     "sessionize" -> ((s, dir) =>
       graft.events.Sessionize
         .sessions(TestGraphs.table(s, dir, "events"), gapSeconds = 14400L)

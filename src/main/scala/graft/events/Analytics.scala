@@ -1,0 +1,91 @@
+package graft.events
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-log analytics: ordered funnel progression, day-k retention
+  * cohorts, JSON property rollups — the product-analytics queries every
+  * event pipeline serves, in the engine's engine-agnostic integer
+  * discipline (epoch micros / epoch days as BIGINTs, -1 sentinels instead
+  * of nulls).
+  */
+object Analytics {
+
+  private def us(c: String): org.apache.spark.sql.Column =
+    expr(s"unix_micros(cast($c as timestamp))")
+
+  /** Ordered three-stage funnel (stage1 → stage2 → stage3, each strictly
+    * AFTER the previous stage's first hit — the conversion question "did
+    * the user view, then click, then purchase, in that order?"). Output
+    * per user: stage reached (0–3) and the first-hit epoch-micro
+    * timestamps (−1 where never reached). First hits are min-aggregates,
+    * so ties collapse deterministically.
+    *
+    * Scale shape: three key-partitioned conditional min-aggs chained by
+    * co-partitioned joins on user_id — no window over the raw event
+    * stream, no per-user event materialization.
+    */
+  def funnel(events: DataFrame, stage1: String, stage2: String,
+             stage3: String): DataFrame = {
+    val e = events.select(col("user_id"), col("event_type"),
+      us("ts").as("us"))
+    val users = e.select("user_id").distinct()
+    val s1 = e.where(col("event_type") === stage1)
+      .groupBy("user_id").agg(min(col("us")).as("t1"))
+    val s2 = e.where(col("event_type") === stage2)
+      .join(s1, Seq("user_id")).where(col("us") > col("t1"))
+      .groupBy("user_id").agg(min(col("us")).as("t2"))
+    val s3 = e.where(col("event_type") === stage3)
+      .join(s2, Seq("user_id")).where(col("us") > col("t2"))
+      .groupBy("user_id").agg(min(col("us")).as("t3"))
+    users
+      .join(s1, Seq("user_id"), "left").join(s2, Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .select(col("user_id"),
+        (when(col("t3").isNotNull, 3L)
+          .when(col("t2").isNotNull, 2L)
+          .when(col("t1").isNotNull, 1L).otherwise(0L)).as("stage"),
+        coalesce(col("t1"), lit(-1L)).as("t1"),
+        coalesce(col("t2"), lit(-1L)).as("t2"),
+        coalesce(col("t3"), lit(-1L)).as("t3"))
+  }
+
+  /** Day-k retention cohorts: users grouped by first-activity epoch day,
+    * with the count still active exactly 1 and exactly 7 days later — the
+    * growth-dashboard table. Days are integer `epoch_us div 86400000000`
+    * (no calendar/timezone function crosses the gate).
+    *
+    * Scale shape: one distinct on (user, day), one per-user min, one
+    * co-partitioned join back, two conditional sums — every shuffle keys
+    * on user_id or the (small) cohort day.
+    */
+  def retention(events: DataFrame): DataFrame = {
+    val act = events
+      .select(col("user_id"), expr(
+        "unix_micros(cast(ts as timestamp)) div 86400000000").as("day"))
+      .distinct()
+    val first = act.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    val flags = act.join(first, Seq("user_id"))
+      .groupBy("user_id", "cohort_day")
+      .agg(max(when(col("day") === col("cohort_day") + 1, 1L)
+        .otherwise(0L)).as("f1"),
+        max(when(col("day") === col("cohort_day") + 7, 1L)
+          .otherwise(0L)).as("f7"))
+    flags.groupBy("cohort_day")
+      .agg(count(lit(1)).as("users"), sum(col("f1")).as("d1"),
+        sum(col("f7")).as("d7"))
+  }
+
+  /** JSON property rollup: the typed-extraction path over a JSON string
+    * column (`get_json_object` — codegen'd, no UDF) aggregated per event
+    * type. The DuckDB twin uses its native json extension; both engines
+    * agree because the extracted field is an integer.
+    */
+  def propsRollup(events: DataFrame, path: String = "$.k"): DataFrame =
+    events
+      .select(col("event_type"),
+        get_json_object(col("props"), path).cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"),
+        min(col("k")).as("k_min"), max(col("k")).as("k_max"))
+}
