@@ -1463,6 +1463,51 @@ object OracleSql {
          |  CAST((SELECT m2 FROM m2t) * (SELECT m2 FROM m2t) AS BIGINT) AS q_den
          |FROM lab ORDER BY n_comms""".stripMargin,
 
+    // average-neighbor-degree curve: exact micro-unit degree-degree
+    // correlation per degree class on the weight>=2 graph
+    "knn_degree" ->
+      s"""WITH cp AS MATERIALIZED ($CP),
+         | cpf AS (SELECT src, dst FROM cp WHERE weight >= 2),
+         | e AS MATERIALIZED (SELECT src, dst FROM cpf UNION SELECT dst, src FROM cpf),
+         | d AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+         |   FROM e GROUP BY 1),
+         | j AS (SELECT ds.deg AS deg, dd.deg AS nd
+         |   FROM e JOIN d ds ON e.src = ds.id JOIN d dd ON e.dst = dd.id)
+         |SELECT deg, CAST(count(*) // deg AS BIGINT) AS n_vertices,
+         |  CAST(sum(nd) * 1000000 // count(*) AS BIGINT) AS knn_micro
+         |FROM j GROUP BY deg ORDER BY deg""".stripMargin,
+
+    // item-to-item co-visitation: top-3 co-purchase partners per part
+    "covisit_top3" ->
+      s"""WITH cp AS ($CP),
+         | sym AS (SELECT src, dst, weight FROM cp
+         |         UNION ALL SELECT dst, src, weight FROM cp),
+         | r AS (
+         |  SELECT src AS id, dst AS rec, CAST(weight AS BIGINT) AS weight,
+         |    CAST(row_number() OVER (PARTITION BY src
+         |      ORDER BY weight DESC, dst) AS BIGINT) AS rk
+         |  FROM sym)
+         |SELECT id, rec, weight, rk FROM r WHERE rk <= 3
+         |ORDER BY id, rk""".stripMargin,
+
+    // per-event-type value percentiles: grouped percentile_disc over the
+    // integer-cents histogram (the Quantiles.discreteBy twin)
+    "value_quantiles" ->
+      """WITH c AS (
+        |  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS v
+        |  FROM events),
+        | hist AS (SELECT event_type AS g, v, CAST(count(*) AS BIGINT) AS cnt
+        |   FROM c GROUP BY 1, 2),
+        | cum AS (SELECT g, v,
+        |   sum(cnt) OVER (PARTITION BY g ORDER BY v) AS cum FROM hist),
+        | n AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n FROM hist GROUP BY 1),
+        | p AS (SELECT n.g, CAST(t.pct AS BIGINT) AS pct,
+        |   (n.n * t.pct + 99) // 100 AS target
+        |   FROM n, unnest([50, 90, 99]) AS t(pct))
+        |SELECT p.g AS event_type, p.pct, CAST(min(c2.v) AS BIGINT) AS value
+        |FROM p JOIN cum c2 ON p.g = c2.g AND c2.cum >= p.target
+        |GROUP BY 1, 2 ORDER BY event_type, pct""".stripMargin,
+
     // modularity of the part-brand partition (attribute homophily) over
     // the unfiltered symmetrized co-purchase graph — lp5's exact-rational
     // machinery with a metadata labeling

@@ -882,6 +882,40 @@ object Queries {
         .orderBy(col("ra_micro").desc, col("cn").desc, col("u"), col("v"))
         .limit(100)),
 
+    // --- average-neighbor-degree curve knn(k): degree-degree correlation
+    // as a function, integer micro-units --------------------------------------
+    "knn_degree" -> ((s, dir) =>
+      GraphOps.knnDegree(TestGraphs.copurchase(s, dir)
+        .where(col("weight") >= 2).select("src", "dst"))
+        .orderBy("deg")),
+
+    // --- item-to-item co-visitation recommendations ("customers also
+    // bought"): top-3 co-purchase partners per part under the total
+    // (weight DESC, id) order — one key-partitioned window ------------------
+    "covisit_top3" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cp = TestGraphs.copurchase(s, dir)
+      val sym = cp.select("src", "dst", "weight")
+        .unionByName(cp.select(col("dst").as("src"), col("src").as("dst"),
+          col("weight")))
+      sym.withColumn("rk", row_number().over(Window.partitionBy("src")
+          .orderBy(col("weight").desc, col("dst"))).cast("long"))
+        .where(col("rk") <= 3)
+        .select(col("src").as("id"), col("dst").as("rec"), col("weight"),
+          col("rk"))
+        .orderBy("id", "rk")
+    }),
+
+    // --- per-event-type value percentiles (grouped percentile_disc in
+    // integer cents — the per-segment dashboard shape) -----------------------
+    "value_quantiles" -> ((s, dir) =>
+      graft.functions.Quantiles.discreteBy(
+        TestGraphs.table(s, dir, "events")
+          .select(col("event_type"),
+            round(col("value") * 100, 0).cast("long").as("cents")),
+        "event_type", "cents", Seq(50, 90, 99))
+        .orderBy("event_type", "pct")),
+
     // --- deterministic negative edge sampling (md5-keyed trials onto the
     // dense vertex-rank space, known edges anti-joined out): the other
     // half of a link-prediction / embedding training set ---------------------

@@ -34,4 +34,28 @@ object Quantiles {
       .groupBy("pct")
       .agg(min(col("v")).as("value"))
   }
+
+  /** Per-group percentile_disc — [[discrete]] with every step keyed by a
+    * group column (the per-segment latency/value dashboard shape). The
+    * prefix-sum window PARTITIONS BY group, so its state is one group's
+    * distinct-value histogram, never the table; group count and targets
+    * ride a co-partitioned join on the group key.
+    */
+  def discreteBy(df: DataFrame, groupCol: String, valueCol: String,
+                 percents: Seq[Int]): DataFrame = {
+    val hist = df.groupBy(col(groupCol).as("g"),
+        col(valueCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = hist.withColumn("cum",
+      sum(col("cnt")).over(Window.partitionBy("g").orderBy(col("v"))))
+    val n = hist.groupBy("g").agg(sum(col("cnt")).as("n"))
+    val p = n.crossJoin(broadcast(df.sparkSession
+        .createDataFrame(percents.map(Tuple1(_))).toDF("pct")))
+      .select(col("g"), col("pct").cast("long").as("pct"),
+        expr("(n * pct + 99) div 100").as("target"))
+    p.join(cum, Seq("g"))
+      .where(col("cum") >= col("target"))
+      .groupBy(col("g").as(groupCol), col("pct"))
+      .agg(min(col("v")).as("value"))
+  }
 }

@@ -232,6 +232,26 @@ object GraphOps {
     }.toDF("key", "id")
   }
 
+  /** Average-neighbor-degree curve knn(k) — degree-degree correlation as
+    * a function (the power-law/assortativity diagnostic beside
+    * graph_profile's single coefficient): for each degree class k, the
+    * mean degree of the neighbors of degree-k vertices, in integer
+    * micro-units `Σ nbr_deg · 10⁶ div samples` where samples = k ·
+    * |{v : deg v = k}| (every endpoint contributes its neighbor once).
+    * Two co-partitioned degree joins + one agg on the (≤64-ish) degree
+    * key; exact at any scale.
+    */
+  def knnDegree(edges: DataFrame): DataFrame = {
+    val e = symmetrize(edges).where(col("src") =!= col("dst"))
+    val d = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    e.join(d.toDF("src", "dsrc"), Seq("src"))
+      .join(d.toDF("dst", "ddst"), Seq("dst"))
+      .groupBy(col("dsrc").as("deg"))
+      .agg(count(lit(1)).as("samples"), sum(col("ddst")).as("nds"))
+      .select(col("deg"), expr("samples div deg").as("n_vertices"),
+        expr("nds * 1000000 div samples").as("knn_micro"))
+  }
+
   /** G5 — co-partition an edge table by `src` so every superstep's
     * frontier⋈edges join reuses one fixed hash partitioning and the (big)
     * edge side never moves again (LA3's 2D placement analog, SURVEY.md
