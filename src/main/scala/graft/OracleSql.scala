@@ -297,6 +297,21 @@ object OracleSql {
          |    FROM e JOIN n${i - 1} pp ON e.src = pp.id WHERE pp.packed IS NOT NULL GROUP BY 1) m ON p.id = m.id)""".stripMargin
     }.mkString(",\n ")
 
+  /** Unrolled earliest-arrival temporal-reachability rounds (needs te and
+    * a0 in scope): per round, one src-equi join guarded by the
+    * time-respecting filter t >= arrival, one min agg, one full-outer
+    * min-merge — exactly [[graft.algos.Temporal.earliestArrival]]'s step. */
+  private def temporalRounds(k: Int): String =
+    (1 to k).map { i =>
+      s"""a$i AS MATERIALIZED (
+         |  SELECT coalesce(a.id, u.id) AS id,
+         |    least(coalesce(a.arrival, u.na), coalesce(u.na, a.arrival)) AS arrival
+         |  FROM a${i - 1} a FULL OUTER JOIN (
+         |    SELECT te.dst AS id, min(te.t) AS na
+         |    FROM te JOIN a${i - 1} p ON te.src = p.id AND te.t >= p.arrival
+         |    GROUP BY 1) u ON a.id = u.id)""".stripMargin
+    }.mkString(",\n ")
+
   private def relaxRounds(k: Int, weighted: Boolean): String = {
     val w = if (weighted) "e.w" else "1.0"
     val d0 = "d0 AS MATERIALIZED (SELECT v.id, CASE WHEN v.id = (SELECT min(src) FROM e) " +
@@ -2213,6 +2228,48 @@ object OracleSql {
          |    round(d.dot / (n1.nrm * n2.nrm), 6) AS cos,
          |    CAST(row_number() OVER (PARTITION BY d.v1 ORDER BY round(d.dot / (n1.nrm * n2.nrm), 6) DESC, d.v2 ASC) AS BIGINT) AS rk
          |  FROM dots d JOIN norms n1 ON d.v1 = n1.vec_id JOIN norms n2 ON d.v2 = n2.vec_id)
-         |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+         |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
+    "temporal_reach4" ->
+      s"""WITH te0 AS MATERIALIZED (
+         |  SELECT DISTINCT o.o_custkey AS cust,
+         |    l.l_partkey + 1000000000 AS part, epoch_us(o.o_orderdate) AS t
+         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         | te AS MATERIALIZED (
+         |  SELECT cust AS src, part AS dst, t FROM te0
+         |  UNION ALL SELECT part, cust, t FROM te0),
+         | a0 AS MATERIALIZED (
+         |  SELECT DISTINCT cust AS id, CAST(0 AS BIGINT) AS arrival
+         |  FROM te0 WHERE cust % 50 = 0),
+         | ${temporalRounds(4)}
+         |SELECT CAST(id AS BIGINT) AS id, CAST(arrival AS BIGINT) AS arrival
+         |FROM a4 ORDER BY id""".stripMargin,
+
+    "event_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        | p AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY us, event_id) AS to_type
+        |  FROM e)
+        |SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |FROM p WHERE to_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
+
+    "stickiness7" ->
+      """WITH du AS MATERIALIZED (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        | dau AS (SELECT day, count(*) AS dau FROM du GROUP BY 1),
+        | wau AS (
+        |  SELECT wday AS day, count(DISTINCT user_id) AS wau FROM (
+        |    SELECT unnest(generate_series(day, day + 6)) AS wday, user_id
+        |    FROM du) GROUP BY 1)
+        |SELECT CAST(d.day AS BIGINT) AS day, CAST(d.dau AS BIGINT) AS dau,
+        |  CAST(w.wau AS BIGINT) AS wau,
+        |  CAST(d.dau * 1000000 // w.wau AS BIGINT) AS stickiness_ppm
+        |FROM dau d JOIN wau w ON d.day = w.day ORDER BY day""".stripMargin
   )
 }

@@ -1121,7 +1121,43 @@ object Queries {
     "ann_top5" -> ((s, dir) =>
       Similarity.topK(emb(s, dir).where(col("vec_id") < 20), emb(s, dir), 5)
         .select("query_id", "neighbor_id", "rk", "cos")
-        .orderBy("query_id", "rk"))
+        .orderBy("query_id", "rk")),
+
+    // --- time-respecting (temporal) reachability: earliest-arrival BFS
+    // over the timestamped cust↔part purchase edges — a static closure
+    // over-counts here because it follows edges back in time. Seeds =
+    // custkey % 50 customers at arrival 0; 4 alternating hops -------------
+    "temporal_reach4" -> ((s, dir) => {
+      val o = TestGraphs.table(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val li = TestGraphs.table(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+      val te0 = o.join(li, o("o_orderkey") === li("l_orderkey"))
+        .select(col("o_custkey").as("cust"),
+          (col("l_partkey") + lit(1000000000L)).as("part"),
+          expr("unix_micros(cast(o_orderdate as timestamp))").as("t"))
+        .distinct()
+      val te = te0.select(col("cust").as("src"), col("part").as("dst"),
+          col("t"))
+        .unionByName(te0.select(col("part").as("src"),
+          col("cust").as("dst"), col("t")))
+      val seeds = te0.select(col("cust").as("id")).distinct()
+        .where(col("id") % 50 === 0)
+        .select(col("id"), lit(0L).as("arrival"))
+      graft.algos.Temporal.earliestArrival(te, seeds, 4).orderBy("id")
+    }),
+
+    // --- first-order event-type transition counts (the empirical Markov
+    // table): one key-partitioned lead window + one pair count ------------
+    "event_transitions" -> ((s, dir) =>
+      graft.events.Analytics.transitions(TestGraphs.table(s, dir, "events"))
+        .orderBy("from_type", "to_type")),
+
+    // --- DAU / trailing-7-day WAU stickiness in exact ppm: the WAU window
+    // as a bounded 7-row fan-out, never a BETWEEN range join --------------
+    "stickiness7" -> ((s, dir) =>
+      graft.events.Analytics.stickiness(TestGraphs.table(s, dir, "events"))
+        .orderBy("day"))
   )
 
   /** Convergence-driven engine runs and xxhash64-based scale paths.

@@ -76,6 +76,49 @@ object Analytics {
         sum(col("f7")).as("d7"))
   }
 
+  /** First-order event-type transition counts (the empirical Markov-chain
+    * table "what do users do next?"): consecutive event pairs per user
+    * under the total (ts, event_id) order, counted per (from, to) pair.
+    *
+    * Scale shape: ONE key-partitioned window (lead over user_id — state is
+    * one user's ordered events, never the global stream) + one
+    * map-side-combinable pair count.
+    */
+  def transitions(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        us("ts").as("us"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** DAU / trailing-7-day WAU stickiness per day, in exact ppm integers.
+    * The WAU window is spelled as a bounded 7-row fan-out (each active
+    * (day, user) contributes to the windows of day..day+6) instead of a
+    * `BETWEEN` range join — a broadcast-nested-loop plan at scale, this
+    * never is. Days are integer epoch days; windows with zero activity
+    * don't exist by construction (wau ≥ dau ≥ 1, so the ppm div is safe).
+    */
+  def stickiness(events: DataFrame): DataFrame = {
+    val du = events
+      .select(col("user_id"), expr(
+        "unix_micros(cast(ts as timestamp)) div 86400000000").as("day"))
+      .distinct()
+    val dau = du.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = du
+      .select(explode(sequence(col("day"),
+        col("day") + lit(6L))).as("wday"), col("user_id"))
+      .distinct()
+      .groupBy(col("wday").as("day")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"),
+        expr("dau * 1000000 div wau").as("stickiness_ppm"))
+  }
+
   /** JSON property rollup: the typed-extraction path over a JSON string
     * column (`get_json_object` — codegen'd, no UDF) aggregated per event
     * type. The DuckDB twin uses its native json extension; both engines
