@@ -312,6 +312,51 @@ object OracleSql {
          |    GROUP BY 1) u ON a.id = u.id)""".stripMargin
     }.mkString(",\n ")
 
+  /** Unrolled ANF/FM sketch rounds (needs e and s0 in scope): per round one
+    * src-equi join, one bit_or agg per register, one left-join OR-merge —
+    * exactly [[graft.algos.Sketches.anf]]'s step. */
+  private def anfRounds(k: Int, regs: Int): String =
+    (1 to k).map { i =>
+      val merged = (0 until regs)
+        .map(j => s"s.r$j | coalesce(u.u$j, 0) AS r$j").mkString(", ")
+      val ors = (0 until regs)
+        .map(j => s"bit_or(p.r$j) AS u$j").mkString(", ")
+      s"""s$i AS MATERIALIZED (
+         |  SELECT s.id, $merged
+         |  FROM s${i - 1} s LEFT JOIN (
+         |    SELECT e.dst AS id, $ors
+         |    FROM e JOIN s${i - 1} p ON e.src = p.id GROUP BY 1) u
+         |  ON s.id = u.id)""".stripMargin
+    }.mkString(",\n ")
+
+  /** Unrolled synchronous Louvain move rounds (needs ew, ktot, m2, c0 in
+    * scope): per round Σtot per community, k_in per (vertex, candidate)
+    * incl. a zero row for the current community, the 2m-scaled integer
+    * gain, and a two-phase argmax (max g, min community id at the max) —
+    * exactly [[graft.algos.Louvain.rounds]]'s step. */
+  private def louvainRounds(k: Int): String =
+    (1 to k).map { i =>
+      s"""sig$i AS MATERIALIZED (
+         |  SELECT c.comm, CAST(sum(kt.k) AS BIGINT) AS sig
+         |  FROM ktot kt JOIN c${i - 1} c ON kt.id = c.id GROUP BY 1),
+         | kin$i AS MATERIALIZED (
+         |  SELECT id, comm, CAST(sum(kin) AS BIGINT) AS kin FROM (
+         |    SELECT e.src AS id, cd.comm, e.w AS kin
+         |    FROM ew e JOIN c${i - 1} cd ON cd.id = e.dst
+         |    UNION ALL SELECT id, comm, 0 FROM c${i - 1}) GROUP BY 1, 2),
+         | sc$i AS MATERIALIZED (
+         |  SELECT n.id, n.comm,
+         |    CAST(m.m2 * n.kin - kt.k * (s.sig -
+         |      CASE WHEN n.comm = c.comm THEN kt.k ELSE 0 END) AS BIGINT) AS g
+         |  FROM kin$i n JOIN c${i - 1} c ON c.id = n.id
+         |    JOIN sig$i s ON s.comm = n.comm
+         |    JOIN ktot kt ON kt.id = n.id, m2 m),
+         | c$i AS MATERIALIZED (
+         |  SELECT s.id, CAST(min(s.comm) AS BIGINT) AS comm
+         |  FROM sc$i s JOIN (SELECT id, max(g) AS bg FROM sc$i GROUP BY 1) b
+         |    ON b.id = s.id AND s.g = b.bg GROUP BY 1)""".stripMargin
+    }.mkString(",\n ")
+
   private def relaxRounds(k: Int, weighted: Boolean): String = {
     val w = if (weighted) "e.w" else "1.0"
     val d0 = "d0 AS MATERIALIZED (SELECT v.id, CASE WHEN v.id = (SELECT min(src) FROM e) " +
@@ -2270,6 +2315,59 @@ object OracleSql {
         |SELECT CAST(d.day AS BIGINT) AS day, CAST(d.dau AS BIGINT) AS dau,
         |  CAST(w.wau AS BIGINT) AS wau,
         |  CAST(d.dau * 1000000 // w.wau AS BIGINT) AS stickiness_ppm
-        |FROM dau d JOIN wau w ON d.day = w.day ORDER BY day""".stripMargin
+        |FROM dau d JOIN wau w ON d.day = w.day ORDER BY day""".stripMargin,
+
+    // ANF/HyperBall FM sketches: md5-seeded register bits (trailing zeros
+    // of the 60-bit prefix, capped at 30), 4 unrolled OR-propagation
+    // rounds; lsb_sum = summed first-zero-bit index (the integer core of
+    // the 2^(lsb_sum/8)/0.77351 ball estimate)
+    "anf4" -> {
+      val hs = (0 until 8).map(j =>
+        s"('0x' || substr(md5('$j:' || CAST(id AS VARCHAR)),1,15))::BIGINT AS h$j")
+        .mkString(", ")
+      val seeds = (0 until 8).map(j =>
+        s"(CAST(1 AS BIGINT) << least(length(bin(h$j & -h$j)) - 1, 30)) AS r$j")
+        .mkString(",\n |    ")
+      val regs = (0 until 8).map(j => s"r$j").mkString(", ")
+      val lsb = (0 until 8)
+        .map(j => s"(length(bin((~r$j) & (r$j + 1))) - 1)").mkString(" + ")
+      s"""WITH $UND,
+         | s0 AS MATERIALIZED (
+         |  SELECT id, $seeds
+         |  FROM (SELECT id, $hs FROM v)),
+         | ${anfRounds(4, 8)}
+         |SELECT CAST(id AS BIGINT) AS id, $regs,
+         |  CAST($lsb AS BIGINT) AS lsb_sum
+         |FROM s4 ORDER BY id""".stripMargin
+    },
+
+    // synchronous level-1 Louvain, 4 unrolled integer-gain move rounds
+    // over the weighted symmetrized copurchase graph
+    "louvain4" ->
+      s"""WITH cp AS MATERIALIZED ($CP),
+         | ew AS MATERIALIZED (
+         |  SELECT src, dst, CAST(weight AS BIGINT) AS w FROM cp
+         |  UNION ALL SELECT dst, src, CAST(weight AS BIGINT) FROM cp),
+         | ktot AS MATERIALIZED (
+         |  SELECT src AS id, CAST(sum(w) AS BIGINT) AS k FROM ew GROUP BY 1),
+         | m2 AS MATERIALIZED (SELECT CAST(sum(w) AS BIGINT) AS m2 FROM ew),
+         | c0 AS MATERIALIZED (
+         |  SELECT id, id AS comm FROM (SELECT DISTINCT src AS id FROM ew)),
+         | ${louvainRounds(4)}
+         |SELECT CAST(id AS BIGINT) AS id, CAST(comm AS BIGINT) AS comm
+         |FROM c4 ORDER BY id""".stripMargin,
+
+    // Heaps-law vocabulary growth: first-seen doc per 3-shingle type,
+    // 5-doc bucket counts, running total over the tiny bucket table
+    "vocab_growth" ->
+      s"""WITH $TOKS,
+         | ${shCte(3)},
+         | fs AS MATERIALIZED (
+         |  SELECT shingle, min(doc_id) AS fd FROM sh GROUP BY 1),
+         | pb AS (SELECT fd // 5 AS bucket,
+         |   CAST(count(*) AS BIGINT) AS new_types FROM fs GROUP BY 1)
+         |SELECT CAST(bucket AS BIGINT) AS bucket, new_types,
+         |  CAST(sum(new_types) OVER (ORDER BY bucket) AS BIGINT) AS cum_types
+         |FROM pb ORDER BY bucket""".stripMargin
   )
 }

@@ -1157,7 +1157,37 @@ object Queries {
     // as a bounded 7-row fan-out, never a BETWEEN range join --------------
     "stickiness7" -> ((s, dir) =>
       graft.events.Analytics.stickiness(TestGraphs.table(s, dir, "events"))
-        .orderBy("day"))
+        .orderBy("day")),
+
+    // --- ANF / HyperBall: FM sketch OR-propagation, 4 hops × 8 registers.
+    // Deterministic md5-seeded bits make the approximate algorithm's exact
+    // register trajectory the oracle surface -----------------------------
+    "anf4" -> ((s, dir) =>
+      graft.algos.Sketches.anf(und(s, dir), 4, 8).orderBy("id")),
+
+    // --- synchronous level-1 Louvain, 4 integer-gain move rounds over the
+    // weighted copurchase graph ------------------------------------------
+    "louvain4" -> ((s, dir) => {
+      val cp = TestGraphs.copurchase(s, dir)
+      val ew = cp.unionByName(cp.select(col("dst").as("src"),
+        col("src").as("dst"), col("weight")))
+      graft.algos.Louvain.rounds(ew, 4).orderBy("id")
+    }),
+
+    // --- Heaps-law vocabulary growth: new/cumulative distinct 3-shingle
+    // types per 5-doc bucket; first-seen = ONE min hash-agg on the shingle
+    // key, the running sum a window over the tiny bucket table only -------
+    "vocab_growth" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val first = TextOps.shingleRows(docs(s, dir), "doc_id", "text", 3)
+        .groupBy("shingle").agg(min("doc_id").as("fd"))
+      val perB = first.groupBy(expr("fd div 5").as("bucket"))
+        .agg(count(lit(1)).as("new_types"))
+      perB.select(col("bucket"), col("new_types"),
+          sum("new_types").over(Window.orderBy("bucket"))
+            .cast("long").as("cum_types"))
+        .orderBy("bucket")
+    })
   )
 
   /** Convergence-driven engine runs and xxhash64-based scale paths.

@@ -1,0 +1,71 @@
+package graft.algos
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.engine.Lineage
+
+/** Synchronous level-1 Louvain: `rounds` rounds of simultaneous
+  * best-neighbour-community moves under the exact integer modularity gain
+  * (Blondel et al., "Fast unfolding of communities in large networks",
+  * J. Stat. Mech. 2008 — the move rule of phase 1, made deterministic and
+  * parallel in the label-propagation style).
+  *
+  * For vertex i and candidate community c the 2m-scaled gain of adopting c
+  * is `G(c) = 2m·k_{i,in}(c) − k_i·(Σtot(c) − k_i·[i∈c])` — every term an
+  * exact BIGINT with integral edge weights, so the full 4-round trajectory
+  * is value-reproducible in DuckDB ([[graft.OracleSql]] `louvain4` unrolls
+  * the same rounds; constant terms of the textbook ΔQ cancel across
+  * candidates, and the `[i∈c]` correction prices "stay" with Σtot taken
+  * over c∖{i}). Every vertex moves simultaneously to its argmax community
+  * (ties → smallest community id), the synchronous variant used by
+  * distributed Louvain implementations; a fixed round budget bounds the
+  * oscillation such schedules allow.
+  *
+  * Scale shape per round: one edge⋈label join co-partitioned on the vertex
+  * key + a (vertex, community) hash-agg for k_in; one tiny per-community
+  * sum for Σtot; one broadcast-size 1-row 2m factor; argmax as TWO
+  * hash-aggs (max g, then min community at the max — the two-phase MSF
+  * discipline, never a struct min_by SortAggregate). State is one LONG
+  * label per vertex.
+  */
+object Louvain {
+
+  /** @param edges symmetrized weighted edges (src, dst, weight), no
+    *              self-loops, both directions present
+    * @return (id, comm) after `rounds` synchronous move rounds
+    */
+  def rounds(edges: DataFrame, rounds: Int): DataFrame = {
+    val e = Lineage.cut(edges.select(col("src"), col("dst"),
+      col("weight").cast("long").as("w")))
+    val kt = Lineage.cut(
+      e.groupBy(col("src").as("id")).agg(sum("w").cast("long").as("k")))
+    val m2 = e.agg(sum("w").cast("long").as("m2"))
+    var c = Lineage.cut(e.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comm")))
+    for (_ <- 1 to rounds) {
+      val sig = kt.join(c, "id")
+        .groupBy("comm").agg(sum("k").cast("long").as("sig"))
+      val kin = e.join(c.select(col("id").as("did"), col("comm")),
+          e("dst") === col("did"))
+        .select(e("src").as("id"), col("comm"), col("w").as("kin"))
+        .unionByName(c.select(col("id"), col("comm"), lit(0L).as("kin")))
+        .groupBy("id", "comm").agg(sum("kin").cast("long").as("kin"))
+      val score = kin
+        .join(c.select(col("id"), col("comm").as("cur")), "id")
+        .join(sig, "comm")
+        .join(kt, "id")
+        .crossJoin(broadcast(m2))
+        .select(col("id"), col("comm"),
+          (col("m2") * col("kin") - col("k") *
+            (col("sig") - when(col("comm") === col("cur"), col("k"))
+              .otherwise(lit(0L)))).as("g"))
+      val best = score.groupBy(col("id").as("bid")).agg(max("g").as("bg"))
+      val next = score.join(best,
+          score("id") === col("bid") && score("g") === col("bg"))
+        .groupBy(score("id").as("id")).agg(min("comm").as("comm"))
+      c = Lineage.cut(next)
+    }
+    c
+  }
+}
