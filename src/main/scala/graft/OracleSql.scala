@@ -2368,6 +2368,69 @@ object OracleSql {
          |   CAST(count(*) AS BIGINT) AS new_types FROM fs GROUP BY 1)
          |SELECT CAST(bucket AS BIGINT) AS bucket, new_types,
          |  CAST(sum(new_types) OVER (ORDER BY bucket) AS BIGINT) AS cum_types
-         |FROM pb ORDER BY bucket""".stripMargin
+         |FROM pb ORDER BY bucket""".stripMargin,
+
+    // SALSA fixed-4 on the customer→part bipartite graph: per-vertex floor
+    // division by out/in-degree before each edge join-sum — the stochastic
+    // HITS, micro-unit integer trajectory
+    "salsa4" -> {
+      val iters = (1 to 4).map { i =>
+        s"""a$i AS MATERIALIZED (
+           |  SELECT e.dst AS id, CAST(sum(h.h // od.outdeg) AS BIGINT) AS a
+           |  FROM e JOIN h${i - 1} h ON h.id = e.src
+           |    JOIN od ON od.id = e.src GROUP BY 1),
+           | h$i AS MATERIALIZED (
+           |  SELECT e.src AS id, CAST(sum(a.a // ind.indeg) AS BIGINT) AS h
+           |  FROM e JOIN a$i a ON a.id = e.dst
+           |    JOIN ind ON ind.id = e.dst GROUP BY 1)""".stripMargin
+      }.mkString(",\n ")
+      s"""WITH e AS MATERIALIZED (
+         |   SELECT o.o_custkey AS src, l.l_partkey + 1000000000 AS dst
+         |   FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         |   GROUP BY 1, 2),
+         | od AS MATERIALIZED (SELECT src AS id, count(*) AS outdeg FROM e GROUP BY 1),
+         | ind AS MATERIALIZED (SELECT dst AS id, count(*) AS indeg FROM e GROUP BY 1),
+         | h0 AS (SELECT id, CAST(1000000000000 AS BIGINT) AS h FROM od),
+         | $iters
+         |SELECT id, 'hub' AS kind, h AS score FROM h4
+         |UNION ALL SELECT id, 'auth' AS kind, a AS score FROM a4
+         |ORDER BY id, kind""".stripMargin
+    },
+
+    // eigenvector centrality: 4 unrolled power-iteration rounds, integer
+    // max-normalization y*1e6 // max(y) per round
+    "eigen4" -> {
+      val iters = (1 to 4).map { i =>
+        s"""y$i AS MATERIALIZED (
+           |  SELECT e.dst AS id, CAST(sum(x.x) AS BIGINT) AS y
+           |  FROM e JOIN x${i - 1} x ON x.id = e.src GROUP BY 1),
+           | m$i AS (SELECT max(y) AS m FROM y$i),
+           | x$i AS MATERIALIZED (
+           |  SELECT id, CAST((y * 1000000) // m AS BIGINT) AS x
+           |  FROM y$i, m$i)""".stripMargin
+      }.mkString(",\n ")
+      s"""WITH $UND,
+         | x0 AS (SELECT id, CAST(1000000 AS BIGINT) AS x FROM d),
+         | $iters
+         |SELECT CAST(id AS BIGINT) AS id, x AS score FROM x4
+         |ORDER BY id""".stripMargin
+    },
+
+    // rich-club density profile phi(k) in ppm: symmetrized edges tagged
+    // with endpoint degrees, one conditional count per threshold
+    "richclub" ->
+      s"""WITH $UND,
+         | ks AS (SELECT unnest([2, 4, 8, 16]) AS k),
+         | nk AS (SELECT k, CAST(count(*) AS BIGINT) AS n_k
+         |   FROM d, ks WHERE d.outdeg >= k GROUP BY 1),
+         | tag AS (SELECT a.outdeg AS ds, b.outdeg AS dd
+         |   FROM e JOIN d a ON a.id = e.src JOIN d b ON b.id = e.dst),
+         | ek AS (SELECT k, CAST(count(*) AS BIGINT) AS e2_k
+         |   FROM tag, ks WHERE ds >= k AND dd >= k GROUP BY 1)
+         |SELECT CAST(k AS BIGINT) AS k, n_k,
+         |  CAST(coalesce(e2_k, 0) AS BIGINT) AS e2_k,
+         |  CAST((coalesce(e2_k, 0) * 1000000) // (n_k * (n_k - 1)) AS BIGINT)
+         |    AS phi_ppm
+         |FROM nk LEFT JOIN ek USING (k) WHERE n_k > 1 ORDER BY k""".stripMargin
   )
 }

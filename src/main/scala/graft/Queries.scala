@@ -1187,7 +1187,26 @@ object Queries {
           sum("new_types").over(Window.orderBy("bucket"))
             .cast("long").as("cum_types"))
         .orderBy("bucket")
-    })
+    }),
+
+    // --- SALSA on the customer→part bipartite graph: the stochastic HITS,
+    // fixed-point micro-units with per-vertex floor division BEFORE the
+    // edge join — integer-exact trajectory, hits4's cost shape ------------
+    "salsa4" -> ((s, dir) =>
+      graft.algos.Spectral.salsa(
+        TestGraphs.custPart(s, dir).select("src", "dst"), 4)
+        .orderBy("id", "kind")),
+
+    // --- eigenvector centrality, 4 power-iteration rounds with integer
+    // max-normalization (y·1e6 div max(y)); the max is a 1-row broadcast --
+    "eigen4" -> ((s, dir) =>
+      graft.algos.Spectral.eigenvector(und(s, dir), 4).orderBy("id")),
+
+    // --- rich-club density profile φ(k) in ppm over thresholds 2/4/8/16:
+    // one deg-tag of the edges + ONE conditional-sum pass per the broadcast
+    // threshold table --------------------------------------------------
+    "richclub" -> ((s, dir) =>
+      GraphOps.richClub(und(s, dir), Seq(2, 4, 8, 16)).orderBy("k"))
   )
 
   /** Convergence-driven engine runs and xxhash64-based scale paths.

@@ -474,4 +474,39 @@ object GraphOps {
     frontier.join(hubSalts, frontier("id") === hubSalts("src"))
       .withColumn("salt", explode(sequence(lit(0), col("nsalts") - 1)))
       .drop("src", "nsalts")
+
+  /** Rich-club profile φ(k) (Colizza et al., Nature Physics 2006): for each
+    * degree threshold k, the density of the subgraph induced by vertices of
+    * degree ≥ k. Input is the SYMMETRIZED edge list (both directions), so
+    * the directed row count over the club IS 2·E_k and
+    * φ(k) = 2·E_k / (N_k·(N_k−1)) = e2_k / (N_k·(N_k−1)) — reported in ppm
+    * via exact floor division (engine-identical on BIGINTs).
+    *
+    * Scale shape: one degree agg, two co-partitioned deg joins to tag the
+    * edges, then ONE pass over the tagged edges per the broadcast |ks|-row
+    * threshold table (conditional sums — no per-k rescan); clubs with
+    * N_k ≤ 1 are dropped (φ undefined). Everything after the tag is a
+    * |ks|-row aggregate.
+    */
+  def richClub(undirected: DataFrame, ks: Seq[Int]): DataFrame = {
+    val spark = undirected.sparkSession
+    import spark.implicits._
+    val e = undirected.select("src", "dst")
+    val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val kdf = broadcast(ks.map(_.toLong).toDF("k"))
+    val nk = deg.crossJoin(kdf).where(col("deg") >= col("k"))
+      .groupBy("k").agg(count(lit(1)).cast("long").as("n_k"))
+    val tagged = e
+      .join(deg.toDF("src", "ds"), "src")
+      .join(deg.toDF("dst", "dd"), "dst")
+    val ek = tagged.crossJoin(kdf)
+      .where(col("ds") >= col("k") && col("dd") >= col("k"))
+      .groupBy("k").agg(count(lit(1)).cast("long").as("e2_k"))
+    nk.join(ek, Seq("k"), "left")
+      .where(col("n_k") > 1)
+      .select(col("k"), col("n_k"),
+        coalesce(col("e2_k"), lit(0L)).as("e2_k"),
+        expr("(coalesce(e2_k, 0) * 1000000) div (n_k * (n_k - 1))")
+          .as("phi_ppm"))
+  }
 }
