@@ -2431,6 +2431,66 @@ object OracleSql {
          |  CAST(coalesce(e2_k, 0) AS BIGINT) AS e2_k,
          |  CAST((coalesce(e2_k, 0) * 1000000) // (n_k * (n_k - 1)) AS BIGINT)
          |    AS phi_ppm
-         |FROM nk LEFT JOIN ek USING (k) WHERE n_k > 1 ORDER BY k""".stripMargin
+         |FROM nk LEFT JOIN ek USING (k) WHERE n_k > 1 ORDER BY k""".stripMargin,
+
+    // Lee et al. duplicated 20-token windows: corpus count per window
+    // hash, per-doc >=2x fraction in exact ppm
+    "windowdup20" ->
+      s"""WITH $TOKS,
+         | w AS MATERIALIZED (
+         |  SELECT doc_id, md5(array_to_string(ts[i:i+19], ' ')) AS wh
+         |  FROM (SELECT doc_id, ts,
+         |      unnest(generate_series(1, CAST(len(ts) AS BIGINT) - 19)) AS i
+         |    FROM toks WHERE len(ts) >= 20)),
+         | c AS MATERIALIZED (SELECT wh, count(*) AS c FROM w GROUP BY 1)
+         |SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+         |  CAST(sum(CASE WHEN c.c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS dup_windows,
+         |  CAST((sum(CASE WHEN c.c >= 2 THEN 1 ELSE 0 END) * 1000000)
+         |    // count(*) AS BIGINT) AS dup_ppm
+         |FROM w JOIN c USING (wh) GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // winnowing fingerprints k=4/w=5: 60-bit md5-prefix gram hashes, the
+    // sliding min per doc-partitioned rows-between window, distinct mins
+    "winnow45" ->
+      s"""WITH $TOKS,
+         | g AS MATERIALIZED (
+         |  SELECT doc_id, i, ('0x' || substr(
+         |      md5(array_to_string(ts[i:i+3], ' ')), 1, 15))::BIGINT AS h
+         |  FROM (SELECT doc_id, ts,
+         |      unnest(generate_series(1, CAST(len(ts) AS BIGINT) - 3)) AS i
+         |    FROM toks WHERE len(ts) >= 4)),
+         | ng AS MATERIALIZED (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+         |  FROM g GROUP BY 1),
+         | mw AS (SELECT doc_id, i, min(h) OVER (PARTITION BY doc_id
+         |    ORDER BY i ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS mh
+         |  FROM g),
+         | fp AS (SELECT doc_id, CAST(count(DISTINCT mh) AS BIGINT) AS n_fp
+         |  FROM mw JOIN ng USING (doc_id)
+         |  WHERE i <= n_grams - 4 GROUP BY 1)
+         |SELECT ng.doc_id, ng.n_grams, fp.n_fp,
+         |  CAST((fp.n_fp * 1000000) // ng.n_grams AS BIGINT) AS density_ppm
+         |FROM ng JOIN fp USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // time-respecting wedges a->m->b, t1 <= t2 <= t1 + 30 days, per mid
+    // vertex of the timestamped cust<->part graph, mid degree capped 128
+    "temporal_wedges" ->
+      s"""WITH te0 AS MATERIALIZED (
+         |  SELECT DISTINCT o.o_custkey AS cust,
+         |    l.l_partkey + 1000000000 AS part, epoch_us(o.o_orderdate) AS t
+         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         | te AS MATERIALIZED (
+         |  SELECT cust AS src, part AS dst, t FROM te0
+         |  UNION ALL SELECT part, cust, t FROM te0),
+         | ok AS (SELECT src AS m FROM te GROUP BY 1
+         |   HAVING count(*) <= 128)
+         |SELECT CAST(e1.dst AS BIGINT) AS m, CAST(count(*) AS BIGINT)
+         |    AS wedges
+         |FROM te e1 JOIN ok ON ok.m = e1.dst
+         |  JOIN te e2 ON e2.src = e1.dst
+         |WHERE e1.src <> e2.dst AND e2.t >= e1.t
+         |  AND e2.t <= e1.t + 2592000000000
+         |GROUP BY 1 ORDER BY m""".stripMargin
   )
 }

@@ -1206,7 +1206,41 @@ object Queries {
     // one deg-tag of the edges + ONE conditional-sum pass per the broadcast
     // threshold table --------------------------------------------------
     "richclub" -> ((s, dir) =>
-      GraphOps.richClub(und(s, dir), Seq(2, 4, 8, 16)).orderBy("k"))
+      GraphOps.richClub(und(s, dir), Seq(2, 4, 8, 16)).orderBy("k")),
+
+    // --- Lee et al. duplicated-window profile: 20-token windows occurring
+    // ≥2× anywhere in the corpus, per-doc exact ppm; one shuffle on the
+    // window-hash key + the join-back on the SAME key — never doc×doc -----
+    "windowdup20" -> ((s, dir) =>
+      TextOps.duplicatedWindows(docs(s, dir), 20).orderBy("doc_id")),
+
+    // --- winnowing (MOSS) fingerprint density, k=4 grams / w=5 windows:
+    // the sliding min is a rows-between window PARTITIONED BY doc ---------
+    "winnow45" -> ((s, dir) =>
+      TextOps.winnow(docs(s, dir), 4, 5).orderBy("doc_id")),
+
+    // --- time-respecting wedge census: a→m→b with t1 ≤ t2 ≤ t1+30d over
+    // the timestamped cust↔part edges, per mid vertex; both legs join ON
+    // the mid key (co-partitioned), hot mids capped at deg ≤ 128 so the
+    // deg² fan-out is bounded — the declared semantics, mirrored in the
+    // oracle -------------------------------------------------------------
+    "temporal_wedges" -> ((s, dir) => {
+      val o = TestGraphs.table(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val li = TestGraphs.table(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+      val te0 = o.join(li, o("o_orderkey") === li("l_orderkey"))
+        .select(col("o_custkey").as("cust"),
+          (col("l_partkey") + lit(1000000000L)).as("part"),
+          expr("unix_micros(cast(o_orderdate as timestamp))").as("t"))
+        .distinct()
+      val te = te0.select(col("cust").as("src"), col("part").as("dst"),
+          col("t"))
+        .unionByName(te0.select(col("part").as("src"),
+          col("cust").as("dst"), col("t")))
+      graft.algos.Temporal.timeWedges(te, 30L * 86400L * 1000000L, 128L)
+        .orderBy("m")
+    })
   )
 
   /** Convergence-driven engine runs and xxhash64-based scale paths.

@@ -49,4 +49,32 @@ object Temporal {
     }
     arr
   }
+
+  /** Time-respecting wedge census (the 2-path temporal motif of Paranjape,
+    * Benson & Leskovec, "Motifs in temporal networks", WSDM 2017): count,
+    * per mid vertex m, the ordered pairs a→t₁→m→t₂→b with a ≠ b and
+    * t₁ ≤ t₂ ≤ t₁ + delta.
+    *
+    * Both legs join ON the mid key — co-partitioned, one shuffle each — and
+    * the timestamp guard is a post-join filter (never a range-join plan).
+    * The per-mid fan-out is deg(m)², so mids with degree > `maxDeg` are
+    * excluded up front (the hot-center cap discipline of neighborJaccard);
+    * the cap is part of the declared semantics and mirrored by the oracle.
+    *
+    * @param edges (src, dst, t) timestamped directed edges, deduplicated
+    * @return (m, wedges) for every qualifying mid with ≥1 wedge
+    */
+  def timeWedges(edges: DataFrame, delta: Long, maxDeg: Long): DataFrame = {
+    val te = edges.select("src", "dst", "t")
+    val ok = te.groupBy(col("src").as("m")).agg(count(lit(1)).as("d"))
+      .where(col("d") <= maxDeg).select("m")
+    val e1 = te.select(col("src").as("a"), col("dst").as("m"),
+      col("t").as("t1"))
+    val e2 = te.select(col("src").as("m"), col("dst").as("b"),
+      col("t").as("t2"))
+    e1.join(ok, "m").join(e2, "m")
+      .where(col("a") =!= col("b") && col("t2") >= col("t1") &&
+        col("t2") <= col("t1") + lit(delta))
+      .groupBy(col("m")).agg(count(lit(1)).as("wedges"))
+  }
 }

@@ -459,4 +459,80 @@ object TextOps {
       .agg(concat_ws(",",
         slice(sort_array(collect_list(md5(col("shingle")))), 1, k))
         .as("fingerprint"))
+
+  /** Positional NON-distinct n-token window hashes: one row per window
+    * start (doc_id, i, wh) with wh = md5 of the space-joined window. The
+    * token array is materialized in its own projection first (the
+    * [[shingleRows]] O(words²) caveat); docs shorter than n drop out.
+    * Window rows are O(total tokens) — the linear corpus pass every
+    * substring-level pipeline stage shares.
+    */
+  def windowHashRows(docs: DataFrame, n: Int, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__ts"))
+      .where(size(col("__ts")) >= n)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(1), size(col("__ts")) - lit(n - 1)),
+        i => md5(concat_ws(" ", slice(col("__ts"), i, lit(n))))))
+        .as(Seq("i", "wh")))
+
+  /** Exact duplicated-window profile (the substring-dedup signal of Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better", ACL
+    * 2022): per document, how many of its n-token windows occur ≥2 times
+    * anywhere in the corpus, as an exact ppm fraction.
+    *
+    * Scale shape: the window rows shuffle once on the window-hash key for
+    * the corpus count, join back on the SAME key (co-partitioned; AQE
+    * handles the boilerplate-hot hashes), then one per-doc agg — never a
+    * doc×doc pair product, unlike shingle-Jaccard paths.
+    */
+  def duplicatedWindows(docs: DataFrame, n: Int, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val w = windowHashRows(docs, n, idCol, textCol).select("doc_id", "wh")
+    val cnt = w.groupBy("wh").agg(count(lit(1)).as("c"))
+    w.join(cnt, "wh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("c") >= 2, lit(1L)).otherwise(lit(0L)))
+          .as("dup_windows"))
+      .select(col("doc_id"), col("n_windows").cast("long").as("n_windows"),
+        col("dup_windows").cast("long").as("dup_windows"),
+        expr("(dup_windows * 1000000) div n_windows").as("dup_ppm"))
+  }
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, "Winnowing:
+    * local algorithms for document fingerprinting", SIGMOD 2003 — the MOSS
+    * algorithm): hash every k-token gram to a 60-bit md5-prefix BIGINT,
+    * slide a window of `w` consecutive gram hashes, keep the minimum per
+    * window, and fingerprint the document with the DISTINCT selected
+    * hashes. Guarantees every shared substring of ≥ w+k−1 tokens
+    * contributes a shared fingerprint. Plain min (no rightmost-tie rule)
+    * keeps the selection a pure value function — deterministic and
+    * engine-identical.
+    *
+    * Scale shape: the sliding min is a rows-between window PARTITIONED BY
+    * doc — per-document state only, embarrassingly parallel across docs;
+    * then one per-doc distinct+count. Returns (doc_id, n_grams,
+    * n_fingerprints, density_ppm = fingerprints·10⁶ div grams).
+    */
+  def winnow(docs: DataFrame, k: Int, w: Int, idCol: String = "doc_id",
+             textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = windowHashRows(docs, k, idCol, textCol)
+      .select(col("doc_id"), col("i"),
+        conv(substring(col("wh"), 1, 15), 16, 10).cast("long").as("h"))
+    val ng = g.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val win = Window.partitionBy("doc_id").orderBy("i")
+      .rowsBetween(Window.currentRow, w - 1)
+    val fps = g.select(col("doc_id"), col("i"),
+        min("h").over(win).as("mh"))
+      .join(ng, "doc_id")
+      .where(col("i") <= col("n_grams") - w) // full windows only (i 0-based)
+      .select("doc_id", "mh").distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    ng.join(fps, "doc_id")
+      .select(col("doc_id"), col("n_grams").cast("long").as("n_grams"),
+        col("n_fp").cast("long").as("n_fp"),
+        expr("(n_fp * 1000000) div n_grams").as("density_ppm"))
+  }
 }
