@@ -2491,6 +2491,61 @@ object OracleSql {
          |  JOIN te e2 ON e2.src = e1.dst
          |WHERE e1.src <> e2.dst AND e2.t >= e1.t
          |  AND e2.t <= e1.t + 2592000000000
-         |GROUP BY 1 ORDER BY m""".stripMargin
+         |GROUP BY 1 ORDER BY m""".stripMargin,
+
+    // grid-layout HashMin CC reaches the same fixpoint — cc's closure
+    // oracle verbatim
+    "cc_grid" ->
+      s"""WITH RECURSIVE cp AS ($CP),
+         | cpf AS (SELECT src, dst FROM cp WHERE weight >= 2),
+         | e AS (SELECT src, dst FROM cpf UNION SELECT dst, src FROM cpf),
+         | reach AS (
+         |  SELECT src AS id, src AS lbl FROM e
+         |  UNION
+         |  SELECT e.dst AS id, r.lbl FROM reach r JOIN e ON r.id = e.src)
+         |SELECT id, min(lbl) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin,
+
+    // ANF neighbourhood-function curve: per-round sum of first-zero-bit
+    // indices over the same unrolled FM rounds as anf4
+    "anf_profile" -> {
+      val lsb = (0 until 8)
+        .map(j => s"(length(bin((~r$j) & (r$j + 1))) - 1)").mkString(" + ")
+      val hs = (0 until 8).map(j =>
+        s"('0x' || substr(md5('$j:' || CAST(id AS VARCHAR)),1,15))::BIGINT AS h$j")
+        .mkString(", ")
+      val seeds = (0 until 8).map(j =>
+        s"(CAST(1 AS BIGINT) << least(length(bin(h$j & -h$j)) - 1, 30)) AS r$j")
+        .mkString(",\n |    ")
+      val rows = (0 to 4).map(t =>
+        s"SELECT CAST($t AS BIGINT) AS round, CAST(sum($lsb) AS BIGINT) " +
+          s"AS total_lsb FROM s$t").mkString("\n |UNION ALL ")
+      s"""WITH $UND,
+         | s0 AS MATERIALIZED (
+         |  SELECT id, $seeds
+         |  FROM (SELECT id, $hs FROM v)),
+         | ${anfRounds(4, 8)}
+         |$rows
+         |ORDER BY round""".stripMargin
+    },
+
+    // robustness after removing the top-50 degree hubs ((deg desc, id)
+    // tie-break): component census of the remaining closure
+    "hub_attack" ->
+      s"""WITH RECURSIVE cp AS ($CP),
+         | e0 AS (SELECT src, dst FROM cp UNION SELECT dst, src FROM cp),
+         | d AS (SELECT src AS id, count(*) AS deg FROM e0 GROUP BY 1),
+         | hubs AS (SELECT id FROM d ORDER BY deg DESC, id LIMIT 50),
+         | e AS (SELECT src, dst FROM e0
+         |   WHERE src NOT IN (SELECT id FROM hubs)
+         |     AND dst NOT IN (SELECT id FROM hubs)),
+         | reach AS (
+         |  SELECT src AS id, src AS lbl FROM e
+         |  UNION
+         |  SELECT e.dst AS id, r.lbl FROM reach r JOIN e ON r.id = e.src),
+         | comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
+         | szs AS (SELECT component, count(*) AS sz FROM comp GROUP BY 1)
+         |SELECT CAST(count(*) AS BIGINT) AS n_components,
+         |  CAST(max(sz) AS BIGINT) AS max_comp,
+         |  CAST(sum(sz) AS BIGINT) AS n_left FROM szs""".stripMargin
   )
 }

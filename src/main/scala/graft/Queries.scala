@@ -1240,7 +1240,29 @@ object Queries {
           col("cust").as("dst"), col("t")))
       graft.algos.Temporal.timeWedges(te, 30L * 86400L * 1000000L, 128L)
         .orderBy("m")
-    })
+    }),
+
+    // --- HashMin CC forced onto the 2D grid edge layout (G5): the same
+    // fixpoint as cc — shared closure oracle — proving the grid kernel is
+    // algorithm-generic, not a PR special case --------------------------
+    "cc_grid" -> ((s, dir) => {
+      val cpf = TestGraphs.copurchase(s, dir)
+        .where(col("weight") >= 2).select("src", "dst")
+      ConnectedComponents.run(s, cpf, cfg(s).copy(gridSide = Some(4)))
+        .state.orderBy("id")
+    }),
+
+    // --- ANF neighbourhood-function curve N(t): per-round corpus-wide
+    // first-zero-bit sums — the integer core of an effective-diameter
+    // estimate; same per-round cost as anf4 plus one tiny agg -------------
+    "anf_profile" -> ((s, dir) =>
+      graft.algos.Sketches.anfProfile(und(s, dir), 4, 8).orderBy("round")),
+
+    // --- robustness-after-hub-removal: drop the top-50 degree hubs
+    // (deterministic (deg desc, id) tie-break), re-run CC over the
+    // remainder, report component census ---------------------------------
+    "hub_attack" -> ((s, dir) =>
+      ConnectedComponents.hubAttackCensus(s, und(s, dir), 50, cfg(s)))
   )
 
   /** Convergence-driven engine runs and xxhash64-based scale paths.

@@ -174,4 +174,30 @@ object ConnectedComponents {
       .select(col("id"),
         coalesce(col("newcomp"), col("component")).as("component"))
   }
+
+  /** Robustness-after-hub-removal census (targeted-attack percolation,
+    * Albert/Jeong/Barabási, Nature 406, 2000): drop the `k` highest-degree
+    * vertices (deterministic (deg desc, id) tie-break), re-run HashMin CC
+    * over the surviving edges, and report a 1-row component census
+    * (n_components, max_comp, n_left). Vertices whose every edge touched a
+    * hub vanish with their edges — the census counts vertices that still
+    * have ≥1 edge, the same reading the oracle closure takes.
+    *
+    * The hub list is a top-k (driver-size) sort+limit; the removal is two
+    * broadcast anti-joins; the rest is [[run]]'s cost.
+    */
+  def hubAttackCensus(spark: SparkSession, undirected: DataFrame, k: Int,
+                      cfg: SuperstepConfig): DataFrame = {
+    val e0 = undirected.select("src", "dst")
+    val deg = e0.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val hubs = deg.orderBy(col("deg").desc, col("id")).limit(k).select("id")
+    val e = e0
+      .join(hubs.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
+      .join(hubs.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
+    val comp = run(spark, e, cfg).state
+    comp.groupBy("component").agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)).cast("long").as("n_components"),
+        max("sz").cast("long").as("max_comp"),
+        sum("sz").cast("long").as("n_left"))
+  }
 }

@@ -70,4 +70,47 @@ object Sketches {
       .reduce(_ + _)
     s.withColumn("lsb_sum", lsbSum.cast("long"))
   }
+
+  /** Per-round neighbourhood-function profile — the data behind an
+    * effective-diameter estimate (ANF's N(t) curve): for every round t,
+    * the corpus-wide sum of per-vertex first-zero-bit indices. N(t)
+    * flattens when balls stop growing; the first t where the sum stops
+    * increasing bounds the effective diameter. All-integer, so the curve
+    * itself crosses the oracle gate (the float 2^(s/r)/0.77351 estimate is
+    * a post-processing step left to the caller).
+    *
+    * Cost: the same per-round join+bit_or+merge as [[anf]] (each round's
+    * state is materialized anyway) plus one tiny agg per round.
+    */
+  def anfProfile(edges: DataFrame, rounds: Int, registers: Int): DataFrame = {
+    val e = Lineage.cut(edges.select("src", "dst"))
+    val v = e.select(col("src").as("id")).distinct()
+    val hs = v.select(col("id") +: (0 until registers).map { j =>
+      conv(substring(md5(concat(lit(s"$j:"), col("id").cast("string"))),
+        1, 15), 16, 10).cast("long").as(s"h$j")
+    }: _*)
+    val init = hs.select(col("id") +: (0 until registers).map(j =>
+      expr(s"shiftleft(CAST(1 AS BIGINT), " +
+        s"least(length(bin(h$j & -h$j)) - 1, 30))").as(s"r$j")): _*)
+    def lsbSum(df: DataFrame): Column = (0 until registers)
+      .map(j => lowestZeroBitIdx(col(s"r$j"))).reduce(_ + _).cast("long")
+    def roundRow(df: DataFrame, t: Int): DataFrame =
+      df.agg(sum(lsbSum(df)).cast("long").as("total_lsb"))
+        .select(lit(t.toLong).as("round"), col("total_lsb"))
+    var s = Lineage.cut(init)
+    var prof = roundRow(s, 0)
+    for (t <- 1 to rounds) {
+      val aggs = (0 until registers).map(j => expr(s"bit_or(r$j)").as(s"u$j"))
+      val upd = e.join(s, e("src") === s("id"))
+        .groupBy(e("dst").as("uid"))
+        .agg(aggs.head, aggs.tail: _*)
+      val merged = s.join(upd, s("id") === upd("uid"), "left")
+        .select(col("id") +: (0 until registers).map(j =>
+          (col(s"r$j").bitwiseOR(coalesce(col(s"u$j"), lit(0L))))
+            .as(s"r$j")): _*)
+      s = Lineage.cut(merged)
+      prof = prof.unionByName(roundRow(s, t))
+    }
+    prof
+  }
 }
