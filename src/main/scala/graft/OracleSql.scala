@@ -2546,6 +2546,72 @@ object OracleSql {
          | szs AS (SELECT component, count(*) AS sz FROM comp GROUP BY 1)
          |SELECT CAST(count(*) AS BIGINT) AS n_components,
          |  CAST(max(sz) AS BIGINT) AS max_comp,
-         |  CAST(sum(sz) AS BIGINT) AS n_left FROM szs""".stripMargin
+         |  CAST(sum(sz) AS BIGINT) AS n_left FROM szs""".stripMargin,
+
+    // wedge-sampling triangle estimate: degree-oriented wedges (the
+    // sampled SET depends on the orientation, so the oracle replicates
+    // the (deg, id) orientation exactly), md5 % 16 = 0 sample
+    "tc_sampled" ->
+      s"""WITH cp AS ($CP),
+         | u AS (SELECT src, dst FROM cp),
+         | dg AS (SELECT id, count(*) AS deg FROM (
+         |   SELECT src AS id FROM u UNION ALL SELECT dst FROM u) GROUP BY 1),
+         | o AS MATERIALIZED (
+         |  SELECT CASE WHEN d1.deg < d2.deg
+         |      OR (d1.deg = d2.deg AND u.src < u.dst)
+         |    THEN u.src ELSE u.dst END AS src,
+         |   CASE WHEN d1.deg < d2.deg
+         |      OR (d1.deg = d2.deg AND u.src < u.dst)
+         |    THEN u.dst ELSE u.src END AS dst
+         |  FROM u JOIN dg d1 ON d1.id = u.src JOIN dg d2 ON d2.id = u.dst),
+         | w AS MATERIALIZED (
+         |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+         |  FROM o e1 JOIN o e2 ON e1.dst = e2.src
+         |  WHERE ('0x' || substr(md5(CAST(e1.src AS VARCHAR) || ':' ||
+         |    CAST(e1.dst AS VARCHAR) || ':' || CAST(e2.dst AS VARCHAR)),
+         |    1, 15))::BIGINT % 16 = 0)
+         |SELECT CAST(count(*) AS BIGINT) AS n_sampled,
+         |  CAST(coalesce(sum(CASE WHEN cl.src IS NOT NULL THEN 1 END), 0)
+         |    AS BIGINT) AS n_closed,
+         |  CAST(coalesce(sum(CASE WHEN cl.src IS NOT NULL THEN 1 END), 0)
+         |    * 16 AS BIGINT) AS est_triangles
+         |FROM w LEFT JOIN o cl ON cl.src = w.a AND cl.dst = w.c""".stripMargin,
+
+    // second-order (trigram) event-type transitions: two leads over the
+    // same user-partitioned order
+    "transitions2" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        | p AS (
+        |  SELECT event_type AS t1,
+        |    lead(event_type, 1) OVER (
+        |      PARTITION BY user_id ORDER BY us, event_id) AS t2,
+        |    lead(event_type, 2) OVER (
+        |      PARTITION BY user_id ORDER BY us, event_id) AS t3
+        |  FROM e)
+        |SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+        |FROM p WHERE t3 IS NOT NULL GROUP BY 1, 2, 3
+        |ORDER BY t1, t2, t3""".stripMargin,
+
+    // Louvain phase 2: contract the c4 labels, diagonal = 2x intra mass,
+    // off-diagonal = undirected inter-community weight once
+    "louvain_coarsen" ->
+      s"""WITH cp AS MATERIALIZED ($CP),
+         | ew AS MATERIALIZED (
+         |  SELECT src, dst, CAST(weight AS BIGINT) AS w FROM cp
+         |  UNION ALL SELECT dst, src, CAST(weight AS BIGINT) FROM cp),
+         | ktot AS MATERIALIZED (
+         |  SELECT src AS id, CAST(sum(w) AS BIGINT) AS k FROM ew GROUP BY 1),
+         | m2 AS MATERIALIZED (SELECT CAST(sum(w) AS BIGINT) AS m2 FROM ew),
+         | c0 AS MATERIALIZED (
+         |  SELECT id, id AS comm FROM (SELECT DISTINCT src AS id FROM ew)),
+         | ${louvainRounds(4)}
+         |SELECT CAST(c1.comm AS BIGINT) AS comm_src,
+         |  CAST(c2.comm AS BIGINT) AS comm_dst,
+         |  CAST(sum(e.w) AS BIGINT) AS weight
+         |FROM ew e JOIN c4 c1 ON c1.id = e.src JOIN c4 c2 ON c2.id = e.dst
+         |WHERE c1.comm <= c2.comm
+         |GROUP BY 1, 2 ORDER BY comm_src, comm_dst""".stripMargin
   )
 }

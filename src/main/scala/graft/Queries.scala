@@ -1262,7 +1262,31 @@ object Queries {
     // (deterministic (deg desc, id) tie-break), re-run CC over the
     // remainder, report component census ---------------------------------
     "hub_attack" -> ((s, dir) =>
-      ConnectedComponents.hubAttackCensus(s, und(s, dir), 50, cfg(s)))
+      ConnectedComponents.hubAttackCensus(s, und(s, dir), 50, cfg(s))),
+
+    // --- wedge-sampling triangle estimate, md5-deterministic 1/16 sample:
+    // the sampled/closed counts are exact (the oracle gate), the estimator
+    // is the 100 TB-scale triangle path -----------------------------------
+    "tc_sampled" -> ((s, dir) =>
+      TriangleCount.sampledCount(
+        TestGraphs.copurchase(s, dir).select("src", "dst"), 16)),
+
+    // --- second-order event-type transitions (the trigram Markov table):
+    // two leads over ONE user-partitioned window --------------------------
+    "transitions2" -> ((s, dir) =>
+      graft.events.Analytics.transitions2(TestGraphs.table(s, dir, "events"))
+        .orderBy("t1", "t2", "t3")),
+
+    // --- Louvain phase 2: contract communities after the 4 move rounds and
+    // aggregate super-edge weights (diagonal = 2× intra mass) -------------
+    "louvain_coarsen" -> ((s, dir) => {
+      val cp = TestGraphs.copurchase(s, dir)
+      val ew = cp.unionByName(cp.select(col("dst").as("src"),
+        col("src").as("dst"), col("weight")))
+      val labels = graft.algos.Louvain.rounds(ew, 4)
+      graft.algos.Louvain.coarsen(ew, labels)
+        .orderBy("comm_src", "comm_dst")
+    })
   )
 
   /** Convergence-driven engine runs and xxhash64-based scale paths.

@@ -68,4 +68,24 @@ object Louvain {
     }
     c
   }
+
+  /** Louvain phase 2 — community coarsening: contract each community to a
+    * super-vertex and aggregate edge weights between communities, producing
+    * the graph the next Louvain level runs on. Convention: the diagonal
+    * (comm_src = comm_dst) carries 2× the intra-community mass (both
+    * directions of each intra edge survive the `cs ≤ cd` canonicalization),
+    * matching the 2m scaling of the phase-1 gain; off-diagonal rows carry
+    * each undirected inter-community weight once.
+    *
+    * Two label joins co-partitioned on the edge endpoints + one
+    * map-side-combinable pair agg; output size is communities², usually
+    * orders of magnitude below the input.
+    */
+  def coarsen(edges: DataFrame, labels: DataFrame): DataFrame =
+    edges.select(col("src"), col("dst"), col("weight").cast("long").as("w"))
+      .join(labels.toDF("src", "cs"), "src")
+      .join(labels.toDF("dst", "cd"), "dst")
+      .where(col("cs") <= col("cd"))
+      .groupBy(col("cs").as("comm_src"), col("cd").as("comm_dst"))
+      .agg(sum("w").cast("long").as("weight"))
 }

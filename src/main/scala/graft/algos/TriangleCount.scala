@@ -220,4 +220,37 @@ object TriangleCount {
     cyc.crossJoin(trans)
       .select(expr("c3 div 3").as("cyclic3"), col("t3").as("transitive3"))
   }
+
+  /** Wedge-sampling triangle estimate (Seshadhri, Pinar & Kolda, "Triadic
+    * measures on graphs: the power of wedge sampling", SDM 2013) with a
+    * DETERMINISTIC sampler: an oriented wedge (a, b, c) is kept iff the
+    * 60-bit md5 prefix of "a:b:c" ≡ 0 (mod rate), so the sampled set — and
+    * hence the whole result — is engine-reproducible, not just the
+    * estimator's distribution. Returns one row (n_sampled, n_closed,
+    * est_triangles = n_closed·rate).
+    *
+    * Scale honesty: the hash filter sits on the wedge rows AFTER the wedge
+    * join, so wedge enumeration is still the full √(2m)-bounded fan-out;
+    * the ×rate saving lands on everything downstream — the closing
+    * semi-join probe (the second shuffle) ships 1/rate of the wedges.
+    * Estimator error is the standard ~1/√sampled; the EXACT sampled/closed
+    * counts are what the oracle gates.
+    */
+  def sampledCount(edges: DataFrame, rate: Int): DataFrame = {
+    require(rate >= 1, s"rate must be >= 1, got $rate")
+    val e = orientedByDegree(edges)
+    val e1 = e.select(col("src").as("a"), col("dst").as("b"))
+    val e2 = e.select(col("src").as("b"), col("dst").as("c"))
+    val wedges = e1.join(e2, "b").select("a", "b", "c")
+      .where(GraphOps.md5Prio(concat_ws(":", col("a"), col("b"), col("c")))
+        % rate === 0)
+    val closing = e.select(col("src").as("a"), col("dst").as("c"),
+      lit(1L).as("hit"))
+    wedges.join(closing, Seq("a", "c"), "left")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).cast("long")
+        .as("n_sampled"),
+        coalesce(sum("hit"), lit(0L)).cast("long").as("n_closed"))
+      .select(col("n_sampled"), col("n_closed"),
+        (col("n_closed") * rate).as("est_triangles"))
+  }
 }

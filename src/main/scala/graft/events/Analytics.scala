@@ -96,6 +96,25 @@ object Analytics {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Second-order (trigram) transition counts — the 2nd-order Markov table
+    * behind sequence models of user behaviour: (t1, t2, t3) for every
+    * consecutive event triple per user, ordered by (ts, event_id) like
+    * [[transitions]]. Two leads over the SAME key-partitioned window — one
+    * shuffle on user_id, per-user state only.
+    */
+  def transitions2(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        us("ts").as("us"))
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .where(col("t3").isNotNull)
+      .groupBy(col("event_type").as("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** DAU / trailing-7-day WAU stickiness per day, in exact ppm integers.
     * The WAU window is spelled as a bounded 7-row fan-out (each active
     * (day, user) contributes to the windows of day..day+6) instead of a
