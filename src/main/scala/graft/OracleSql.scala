@@ -2612,6 +2612,22 @@ object OracleSql {
          |  CAST(sum(e.w) AS BIGINT) AS weight
          |FROM ew e JOIN c4 c1 ON c1.id = e.src JOIN c4 c2 ON c2.id = e.dst
          |WHERE c1.comm <= c2.comm
-         |GROUP BY 1, 2 ORDER BY comm_src, comm_dst""".stripMargin
+         |GROUP BY 1, 2 ORDER BY comm_src, comm_dst""".stripMargin,
+
+    // keyed-state streaming transitions reproduce the batch transition
+    // table exactly (ordered time-chunk replay) — event_transitions'
+    // oracle verbatim
+    "stream_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        | p AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY us, event_id) AS to_type
+        |  FROM e)
+        |SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |FROM p WHERE to_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin
   )
 }

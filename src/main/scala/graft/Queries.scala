@@ -1286,7 +1286,15 @@ object Queries {
       val labels = graft.algos.Louvain.rounds(ew, 4)
       graft.algos.Louvain.coarsen(ew, labels)
         .orderBy("comm_src", "comm_dst")
-    })
+    }),
+
+    // --- keyed-state streaming transitions (flatMapGroupsWithState): the
+    // last event per user carried ACROSS micro-batches over an ordered
+    // time-chunk replay — shares event_transitions' batch oracle ---------
+    "stream_transitions" -> ((s, dir) =>
+      graft.streaming.TransitionStream
+        .transitionsViaStream(TestGraphs.table(s, dir, "events"))
+        .orderBy("from_type", "to_type"))
   )
 
   /** Convergence-driven engine runs and xxhash64-based scale paths.
