@@ -2628,6 +2628,36 @@ object OracleSql {
         |  FROM e)
         |SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
         |FROM p WHERE to_type IS NOT NULL
-        |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin
+        |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
+
+    // k-means inertia curve: per-round sum(dist2) over the same unrolled
+    // exact-integer Lloyd chain as kmeans8 (one more round)
+    "kmeans_inertia" -> {
+      val rows = (1 to 3).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS round, CAST(sum(dist2) AS BIGINT) " +
+          s"AS inertia FROM a$i").mkString("\n |UNION ALL ")
+      s"""WITH ${kmeansCtes("", 8, 3, 10000L, 10000L, 1, 0)}
+         |$rows
+         |ORDER BY round""".stripMargin
+    },
+
+    // Zipf rank-frequency: top-50 corpus tokens by (cnt desc, tok)
+    "zipf50" ->
+      s"""WITH $TOKS,
+         | tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+         |   FROM (SELECT unnest(ts) AS tok FROM toks) GROUP BY 1),
+         | top AS (SELECT tok, cnt FROM tf ORDER BY cnt DESC, tok LIMIT 50)
+         |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT)
+         |    AS rank, tok, cnt
+         |FROM top ORDER BY rank""".stripMargin,
+
+    // log2-bucketed joint degree matrix over the symmetrized graph
+    "joint_degree" ->
+      s"""WITH $UND
+         |SELECT CAST(length(bin(d1.outdeg)) AS BIGINT) AS src_bucket,
+         |  CAST(length(bin(d2.outdeg)) AS BIGINT) AS dst_bucket,
+         |  CAST(count(*) AS BIGINT) AS n_edges
+         |FROM e JOIN d d1 ON d1.id = e.src JOIN d d2 ON d2.id = e.dst
+         |GROUP BY 1, 2 ORDER BY src_bucket, dst_bucket""".stripMargin
   )
 }

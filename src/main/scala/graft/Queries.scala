@@ -1294,7 +1294,40 @@ object Queries {
     "stream_transitions" -> ((s, dir) =>
       graft.streaming.TransitionStream
         .transitionsViaStream(TestGraphs.table(s, dir, "events"))
-        .orderBy("from_type", "to_type"))
+        .orderBy("from_type", "to_type")),
+
+    // --- k-means inertia (elbow) curve: Σ dist² after each of 3 Lloyd
+    // rounds — one 1-row agg per materialized assignment -----------------
+    "kmeans_inertia" -> ((s, dir) =>
+      graft.ann.KMeans.runProfile(s, emb(s, dir), 8, 3).orderBy("round")),
+
+    // --- Zipf rank-frequency profile: corpus token counts, top-50 by
+    // (cnt desc, tok); the rank window runs over the 50-row table only ----
+    "zipf50" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tf = docs(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      tf.orderBy(col("cnt").desc, col("tok")).limit(50)
+        .select(row_number()
+            .over(Window.orderBy(col("cnt").desc, col("tok")))
+            .cast("long").as("rank"),
+          col("tok"), col("cnt"))
+        .orderBy("rank")
+    }),
+
+    // --- log2-bucketed joint degree matrix (the degree-correlation
+    // profile): two co-partitioned deg joins + one pair-bucket count ------
+    "joint_degree" -> ((s, dir) => {
+      val e = und(s, dir)
+      val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      e.join(deg.toDF("src", "ds"), "src")
+        .join(deg.toDF("dst", "dd"), "dst")
+        .groupBy(length(bin(col("ds"))).cast("long").as("src_bucket"),
+          length(bin(col("dd"))).cast("long").as("dst_bucket"))
+        .agg(count(lit(1)).as("n_edges"))
+        .orderBy("src_bucket", "dst_bucket")
+    })
   )
 
   /** Convergence-driven engine runs and xxhash64-based scale paths.

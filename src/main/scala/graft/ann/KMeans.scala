@@ -114,6 +114,43 @@ object KMeans {
     asg
   }
 
+  /** Per-round inertia curve — the elbow plot a clustering pipeline reads
+    * to pick k: (round, inertia = Σ dist²) after every assignment round of
+    * the SAME deterministic chain as [[run]]. Lloyd monotonicity makes the
+    * curve non-increasing; everything is the exact quantized integer
+    * algebra, so the whole curve crosses the oracle gate. Cost: [[run]]'s
+    * rounds plus one 1-row agg per round over the already-materialized
+    * assignment.
+    */
+  def runProfile(spark: SparkSession, vecs: DataFrame, k: Int, iters: Int,
+                 scale: Long = 10000L, offset: Long = 10000L): DataFrame = {
+    require(k >= 1 && k <= 16, s"packed priority holds k <= 16, got $k")
+    require(iters >= 1, s"need at least one assignment round, got $iters")
+    val quant = quantize(vecs, scale, offset).localCheckpoint(true)
+    val qq = quant.groupBy("vec_id").agg(sum(col("q") * col("q")).as("qq"))
+      .localCheckpoint(true)
+    import org.apache.spark.sql.expressions.Window
+    val seeds = vecs
+      .select(col("vec_id"),
+        GraphOps.md5Prio(col("vec_id").cast("string")).as("prio"))
+      .orderBy("prio", "vec_id").limit(k)
+      .select(col("vec_id"),
+        (row_number().over(Window.orderBy("prio", "vec_id")) - 1)
+          .cast("long").as("cluster"))
+    var cent = quant.join(seeds, Seq("vec_id"))
+      .select(col("cluster"), col("dim"), col("q").as("m"))
+      .localCheckpoint(true)
+    var prof: DataFrame = null
+    for (i <- 1 to iters) {
+      val asg = assign(quant, qq, cent).localCheckpoint(true)
+      val row = asg.agg(sum("dist2").cast("long").as("inertia"))
+        .select(lit(i.toLong).as("round"), col("inertia"))
+      prof = if (prof == null) row else prof.unionByName(row)
+      if (i < iters) cent = update(quant, asg, cent).localCheckpoint(true)
+    }
+    prof
+  }
+
   /** Product quantization — the embedding-compression primitive behind
     * every large-scale vector index (Jégou, Douze & Schmid, TPAMI 2011):
     * the vector splits into `m` disjoint `dsub`-dim subspaces, each
