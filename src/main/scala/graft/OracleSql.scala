@@ -53,6 +53,52 @@ object OracleSql {
       |  GROUP BY 1, 2),
       | sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)""".stripMargin
 
+  /** Unrolled ε=1 densest-peel rounds over the symmetric edge CTE `e`:
+    * each round measures (n, m2) then drops every vertex with
+    * deg·n ≤ 2·m2 (exact-integer spelling of deg ≤ 4m/n). Emits `prof`
+    * with one row per non-empty round.
+    */
+  private def densestRounds(k: Int): String = {
+    val rounds = (1 to k).map { i =>
+      s"""pd$i AS MATERIALIZED (
+         |  SELECT src AS id, count(*) AS deg FROM pe${i - 1} GROUP BY 1),
+         | ps$i AS MATERIALIZED (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(coalesce(sum(deg), 0) AS BIGINT) AS m2 FROM pd$i),
+         | pk$i AS MATERIALIZED (
+         |  SELECT id FROM pd$i, ps$i WHERE deg * n > 2 * m2),
+         | pe$i AS MATERIALIZED (
+         |  SELECT e.src, e.dst FROM pe${i - 1} e
+         |  JOIN pk$i a ON a.id = e.src JOIN pk$i b ON b.id = e.dst)""".stripMargin
+    }
+    val prof = (1 to k)
+      .map(i => s"SELECT $i AS round, n, m2 FROM ps$i WHERE n > 0")
+      .mkString(" UNION ALL ")
+    (("pe0 AS MATERIALIZED (SELECT src, dst FROM e)" +: rounds) :+
+      s"prof AS MATERIALIZED ($prof)").mkString(",\n ")
+  }
+
+  /** md5-parity edge sign (0/1) on the canonical x:y endpoint string —
+    * the same value as the engine's `GraphOps.md5Prio(...) % 2`.
+    */
+  private def sgnSql(x: String, y: String): String =
+    s"(('0x' || substr(md5(CAST($x AS VARCHAR) || ':' || CAST($y AS VARCHAR)), 1, 15))::BIGINT % 2)"
+
+  /** Unrolled Markov power steps (needs c, crs, t, mp0 in scope): per-term
+    * floored micro-unit routing, absent types coalesced to 0.
+    */
+  private def markovSteps(k: Int): String =
+    (1 to k).map { i =>
+      s"""mp$i AS MATERIALIZED (
+         |  SELECT t.event_type, CAST(coalesce(s.w, 0) AS BIGINT) AS w
+         |  FROM t LEFT JOIN (
+         |    SELECT c.to_type AS event_type, sum((p.w * c.n) // r.rs) AS w
+         |    FROM mp${i - 1} p
+         |    JOIN c ON c.from_type = p.event_type
+         |    JOIN crs r ON r.from_type = p.event_type
+         |    GROUP BY 1) s ON s.event_type = t.event_type)""".stripMargin
+    }.mkString(",\n ")
+
   /** Unrolled longest-path layering rounds (needs e, v in scope). */
   private def layerRounds(k: Int): String = {
     val rounds = (1 to k).map { i =>
@@ -2650,6 +2696,66 @@ object OracleSql {
          |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT)
          |    AS rank, tok, cnt
          |FROM top ORDER BY rank""".stripMargin,
+
+    // densest-subgraph greedy peel profile: 16 unrolled ε=1 peel rounds
+    // (each strictly more than halves the vertex set, so 16 covers any
+    // n ≤ 65536); rows emitted only while the subgraph is non-empty, and
+    // the best-round flag is an exact cross-multiplied density compare
+    "densest" ->
+      s"""WITH cp AS ($CP),
+         | cpf AS (SELECT src, dst FROM cp WHERE weight >= 2),
+         | e AS (SELECT src, dst FROM cpf UNION SELECT dst, src FROM cpf),
+         | ${densestRounds(16)}
+         |SELECT CAST(p.round AS BIGINT) AS round, p.n AS n_vertices,
+         |  p.m2 AS m2_edges,
+         |  CAST(CASE WHEN (SELECT count(*) FROM prof q
+         |    WHERE q.m2 * p.n > p.m2 * q.n) = 0 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS is_best
+         |FROM prof p ORDER BY round""".stripMargin,
+
+    // signed-triangle balance census: deterministic md5-parity edge signs
+    // on the canonical least:greatest endpoint string (same value as the
+    // engine's GraphOps.md5Prio % 2); enumeration uses the id orientation
+    // (a<b<c) — the census is orientation-invariant
+    "balance_tri" ->
+      s"""WITH cp AS ($CP), e AS (SELECT src AS a, dst AS b FROM cp),
+         | tri AS (
+         |  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+         |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+         |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         | par AS (
+         |  SELECT (${sgnSql("a", "b")} + ${sgnSql("b", "c")}
+         |        + ${sgnSql("a", "c")}) % 2 AS p
+         |  FROM tri)
+         |SELECT
+         |  CAST(coalesce(sum(CASE WHEN p = 0 THEN 1 ELSE 0 END), 0) AS BIGINT)
+         |    AS balanced,
+         |  CAST(coalesce(sum(CASE WHEN p = 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+         |    AS unbalanced
+         |FROM par""".stripMargin,
+
+    // Markov stationary distribution over event types: 4 unrolled power
+    // steps in integer micro-units, per-term floor division (// ≡ Spark
+    // div on non-negatives); dangling types leak mass, absent types get 0
+    "markov4" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+         |  FROM events),
+         | pr AS (
+         |  SELECT event_type AS from_type,
+         |    lead(event_type) OVER (
+         |      PARTITION BY user_id ORDER BY us, event_id) AS to_type
+         |  FROM ev),
+         | c AS MATERIALIZED (
+         |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+         |  FROM pr WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         | crs AS MATERIALIZED (
+         |  SELECT from_type, sum(n) AS rs FROM c GROUP BY 1),
+         | t AS MATERIALIZED (SELECT DISTINCT event_type FROM events),
+         | mp0 AS (SELECT event_type, CAST(1000000 AS BIGINT) AS w FROM t),
+         | ${markovSteps(4)}
+         |SELECT event_type, w AS weight FROM mp4
+         |ORDER BY event_type""".stripMargin,
 
     // log2-bucketed joint degree matrix over the symmetrized graph
     "joint_degree" ->

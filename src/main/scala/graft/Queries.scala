@@ -1327,7 +1327,31 @@ object Queries {
           length(bin(col("dd"))).cast("long").as("dst_bucket"))
         .agg(count(lit(1)).as("n_edges"))
         .orderBy("src_bucket", "dst_bucket")
-    })
+    }),
+
+    // --- densest-subgraph greedy peel profile (Charikar 2-approx, ε=1
+    // batched peel) on the weight≥2 co-purchase graph (the full graph is
+    // near-regular and drains in one round — measured): integer-exact
+    // per-round (n, m2) curve + cross-mult density argmax flag;
+    // rounds ≤ ⌈log₂ n⌉ ----------------------------------------------------
+    "densest" -> ((s, dir) =>
+      graft.algos.Densest.peelProfile(s,
+        GraphOps.symmetrize(TestGraphs.copurchase(s, dir)
+          .where(col("weight") >= 2).select("src", "dst")),
+        cfg(s).numPartitions).orderBy("round")),
+
+    // --- signed-triangle structural balance census: md5-parity edge
+    // signs, balanced ⇔ even number of negative edges; one exact row ------
+    "balance_tri" -> ((s, dir) =>
+      TriangleCount.signedBalance(TestGraphs.copurchase(s, dir))),
+
+    // --- Markov stationary distribution of the event-type transition
+    // chain: 4 power-iteration steps in exact integer micro-units ---------
+    "markov4" -> ((s, dir) =>
+      graft.events.Analytics.markovStationary(
+          TestGraphs.table(s, dir, "events"), 4)
+        .withColumnRenamed("w", "weight")
+        .orderBy("event_type"))
   )
 
   /** Convergence-driven engine runs and xxhash64-based scale paths.

@@ -150,4 +150,39 @@ object Analytics {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"),
         min(col("k")).as("k_min"), max(col("k")).as("k_max"))
+
+  /** Empirical-Markov-chain stationary distribution over event types, by
+    * fixed-k power iteration in exact integer micro-units: starting from a
+    * uniform 1 000 000 µu per type, each step routes
+    * `(p(i)·c(i,j)) div rowsum(i)` µu along every observed transition —
+    * the floor division is applied PER TERM in both engines (Spark `div`
+    * on non-negatives ≡ DuckDB `//`), so the whole trajectory is
+    * integer-exact. Types with no outgoing transitions leak their mass
+    * (dangling states — documented, matching the plain power iteration
+    * without a teleport term). Output after k steps: (event_type, weight).
+    *
+    * Scale shape: the transition matrix is a ≤|types|² aggregate of
+    * [[transitions]] (one user-keyed window + one pair count); the k
+    * iteration steps are broadcast joins over that tiny table — all the
+    * data-scale work is in the derivation, exactly where it should be.
+    */
+  def markovStationary(events: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"need at least one step, got $iters")
+    val c = transitions(events).localCheckpoint(true)
+    val rs = c.groupBy("from_type").agg(sum(col("n")).as("rs"))
+    val cr = broadcast(c.join(rs, "from_type"))
+    val types = events.select(col("event_type")).distinct()
+      .localCheckpoint(true)
+    var p = types.select(col("event_type"), lit(1000000L).as("w"))
+    for (_ <- 1 to iters) {
+      val routed = p
+        .join(cr, p("event_type") === cr("from_type"))
+        .groupBy(col("to_type"))
+        .agg(sum(expr("(w * n) div rs")).as("nw"))
+      p = types
+        .join(routed, types("event_type") === routed("to_type"), "left")
+        .select(types("event_type"), coalesce(col("nw"), lit(0L)).as("w"))
+    }
+    p
+  }
 }
