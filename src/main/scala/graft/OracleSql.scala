@@ -99,6 +99,30 @@ object OracleSql {
          |    GROUP BY 1) s ON s.event_type = t.event_type)""".stripMargin
     }.mkString(",\n ")
 
+  /** Unrolled sigma-count BFS rounds from the min-id source (needs e, v
+    * in scope): round i settles exactly the level-i frontier with
+    * sigma = Σ sigma over level-(i−1) in-neighbors.
+    */
+  private def sigmaRounds(k: Int): String = {
+    val s0 = "sp0 AS MATERIALIZED (SELECT id, " +
+      "CASE WHEN id = (SELECT min(src) FROM e) THEN 0 END AS dist, " +
+      "CASE WHEN id = (SELECT min(src) FROM e) THEN 1 END AS sigma FROM v)"
+    val rounds = (1 to k).map { i =>
+      s"""sm$i AS MATERIALIZED (
+         |  SELECT e.dst AS id, sum(s.sigma) AS nsig
+         |  FROM e JOIN sp${i - 1} s ON s.id = e.src AND s.dist = ${i - 1}
+         |  GROUP BY 1),
+         | sp$i AS MATERIALIZED (
+         |  SELECT s.id,
+         |    CASE WHEN s.dist IS NOT NULL THEN s.dist
+         |         WHEN m.nsig IS NOT NULL THEN $i END AS dist,
+         |    CASE WHEN s.dist IS NOT NULL THEN s.sigma
+         |         ELSE m.nsig END AS sigma
+         |  FROM sp${i - 1} s LEFT JOIN sm$i m ON m.id = s.id)""".stripMargin
+    }
+    (s0 +: rounds).mkString(",\n ")
+  }
+
   /** Unrolled longest-path layering rounds (needs e, v in scope). */
   private def layerRounds(k: Int): String = {
     val rounds = (1 to k).map { i =>
@@ -2756,6 +2780,51 @@ object OracleSql {
          | ${markovSteps(4)}
          |SELECT event_type, w AS weight FROM mp4
          |ORDER BY event_type""".stripMargin,
+
+    // weighted neighbor Jaccard (Ruzicka): Σmin over the shared-neighbor
+    // intersection, Σmax over the union via tot(a)+tot(b)−Σmin; integer
+    // micro-units, wedge-join candidates
+    "g_wjaccard" ->
+      s"""WITH cp AS ($CP),
+         | cpf AS (SELECT src, dst, CAST(weight AS BIGINT) AS w
+         |   FROM cp WHERE weight >= 2),
+         | und AS MATERIALIZED (
+         |  SELECT src, dst, w FROM cpf
+         |  UNION ALL SELECT dst, src, w FROM cpf),
+         | tot AS MATERIALIZED (
+         |  SELECT src AS id, sum(w) AS tot FROM und GROUP BY 1),
+         | inter AS (
+         |  SELECT a.src AS v1, b.src AS v2, sum(least(a.w, b.w)) AS num
+         |  FROM und a JOIN und b ON a.dst = b.dst AND a.src < b.src
+         |  GROUP BY 1, 2)
+         |SELECT i.v1, i.v2,
+         |  CAST((i.num * 1000000) // (t1.tot + t2.tot - i.num) AS BIGINT)
+         |    AS wjac_micro
+         |FROM inter i JOIN tot t1 ON t1.id = i.v1
+         |JOIN tot t2 ON t2.id = i.v2
+         |WHERE (i.num * 1000000) // (t1.tot + t2.tot - i.num) >= 300000
+         |ORDER BY v1, v2""".stripMargin,
+
+    // shortest-path sigma counts: 4 unrolled level-synchronous BFS rounds
+    // carrying path counts from the min-id source
+    "sigma4" ->
+      s"""WITH $UND,
+         | ${sigmaRounds(4)}
+         |SELECT id, CAST(dist AS BIGINT) AS dist,
+         |  CAST(sigma AS BIGINT) AS sigma
+         |FROM sp4 WHERE dist IS NOT NULL ORDER BY id""".stripMargin,
+
+    // CUBE rollup over (event_type, epoch-day): all four grouping sets,
+    // null groups coalesced to sentinels in BOTH engines
+    "cube_counts" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day
+        |  FROM events)
+        |SELECT coalesce(event_type, 'ALL') AS event_type,
+        |  CAST(coalesce(day, -1) AS BIGINT) AS day,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM ev GROUP BY CUBE(event_type, day)
+        |ORDER BY event_type, day""".stripMargin,
 
     // log2-bucketed joint degree matrix over the symmetrized graph
     "joint_degree" ->

@@ -1351,7 +1351,35 @@ object Queries {
       graft.events.Analytics.markovStationary(
           TestGraphs.table(s, dir, "events"), 4)
         .withColumnRenamed("w", "weight")
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    // --- weighted neighbor Jaccard (Ruzicka Σmin/Σmax) in exact integer
+    // micro-units — wedge-join candidates, never all-pairs ----------------
+    "g_wjaccard" -> ((s, dir) =>
+      GraphOps.neighborJaccardWeighted(
+        TestGraphs.copurchase(s, dir).where(col("weight") >= 2)
+          .select("src", "dst", "weight"), 300000L)
+        .orderBy("v1", "v2")),
+
+    // --- shortest-path σ counts within 4 hops of the min-id source (the
+    // Brandes forward phase as its own operator); exact BIGINT counts ----
+    "sigma4" -> ((s, dir) => {
+      val e = und(s, dir).localCheckpoint(true)
+      Paths.sigmaCounts(e, e.agg(min(col("src"))), 4).orderBy("id")
+    }),
+
+    // --- CUBE rollup counts (event_type × epoch-day, all 4 grouping
+    // sets), null groups coalesced to engine-agnostic sentinels ----------
+    "cube_counts" -> ((s, dir) => {
+      val ev = TestGraphs.table(s, dir, "events")
+        .select(col("event_type"),
+          expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+            .as("day"))
+      ev.cube(col("event_type"), col("day")).agg(count(lit(1)).as("n"))
+        .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+          coalesce(col("day"), lit(-1L)).as("day"), col("n"))
+        .orderBy("event_type", "day")
+    })
   )
 
   /** Convergence-driven engine runs and xxhash64-based scale paths.

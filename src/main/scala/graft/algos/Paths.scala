@@ -332,6 +332,45 @@ object Paths {
     dist
   }
 
+  /** Shortest-path σ counts within `k` hops of `source` — the forward
+    * phase of Brandes' betweenness exposed as its own operator (the "how
+    * many distinct shortest routes reach v?" redundancy question).
+    * Level-synchronous BFS carrying counts: round i settles exactly the
+    * level-i frontier (a settled vertex never improves in an unweighted
+    * graph, so no re-expansion), sigma(v) = Σ sigma(u) over level-(i−1)
+    * in-neighbors — exact BIGINTs, bounded by maxdeg^k at truncation k.
+    * Output (id, dist, sigma) for reached vertices only.
+    *
+    * Scale shape: one co-partitioned frontier join + one sum aggregate
+    * per round, frontier-sized messages (the bfs5 cost family).
+    */
+  def sigmaCounts(edges: DataFrame, source: DataFrame, k: Int): DataFrame = {
+    val e = edges.select("src", "dst")
+      .transform(Lineage.cut(_, eager = true))
+    var state = GraphOps.vertices(e)
+      .crossJoin(broadcast(source.toDF("s0")))
+      .select(col("id"),
+        when(col("id") === col("s0"), 0L)
+          .otherwise(lit(null).cast("long")).as("dist"),
+        when(col("id") === col("s0"), 1L)
+          .otherwise(lit(null).cast("long")).as("sigma"))
+      .transform(Lineage.cut(_, eager = true))
+    for (i <- 1 to k) {
+      val frontier = state.where(col("dist") === (i - 1).toLong)
+        .select(col("id").as("src"), col("sigma").as("fsig"))
+      val msgs = e.join(frontier, "src")
+        .groupBy(col("dst").as("id")).agg(sum(col("fsig")).as("nsig"))
+      state = state.join(msgs, Seq("id"), "left_outer")
+        .select(col("id"),
+          when(col("dist").isNotNull, col("dist"))
+            .when(col("nsig").isNotNull, lit(i.toLong)).as("dist"),
+          when(col("dist").isNotNull, col("sigma"))
+            .otherwise(col("nsig")).as("sigma"))
+      if (i < k) state = state.transform(Lineage.cut(_, eager = true))
+    }
+    state.where(col("dist").isNotNull).select("id", "dist", "sigma")
+  }
+
   /** Multi-source BFS / graph-Voronoi landmark assignment: seeds are the
     * vertices with `md5Prio(id) % seedMod == 0` (deterministic ~1/seedMod
     * sample — the doc_split hash discipline), and every vertex within `k`

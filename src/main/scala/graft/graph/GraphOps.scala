@@ -370,6 +370,48 @@ object GraphOps {
       .where(col("overlap_micro") >= thresholdMicro)
   }
 
+  /** WEIGHTED neighbor Jaccard — Σmin(w)/Σmax(w) over the union of the two
+    * weighted neighborhoods (the Ruzicka similarity, the standard weighted
+    * generalization), in exact integer micro-units: with integral edge
+    * weights, `Σmax over the union = tot(a) + tot(b) − Σmin over the
+    * intersection`, so the score is `(num·10⁶) div den` with both sides
+    * BIGINT and no float at the gate. Candidate pairs come from the
+    * shared-neighbor wedge join (never all-pairs), with the same
+    * deterministic `maxDeg` hot-center cap as [[neighborJaccard]].
+    * Output (v1, v2, wjac_micro) at ≥ `thresholdMicro`.
+    *
+    * @param edges canonical weighted edges (src, dst, weight), integral
+    *              weights; symmetrized here
+    */
+  def neighborJaccardWeighted(edges: DataFrame, thresholdMicro: Long,
+                              maxDeg: Long = Long.MaxValue): DataFrame = {
+    val und = edges.select("src", "dst", "weight")
+      .where(col("src") =!= col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"),
+        col("weight")))
+      .localCheckpoint(true)
+    val tot = und.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("deg"), sum(col("weight")).as("tot"))
+    val wedgeE =
+      if (maxDeg == Long.MaxValue) und
+      else und.join(tot.where(col("deg") <= maxDeg)
+          .select(col("id").as("dst")), Seq("dst"), "left_semi")
+        .select("src", "dst", "weight")
+    val wedge = wedgeE.select(col("dst").as("nbr"), col("src").as("v"),
+      col("weight").as("w"))
+    val inter = wedge.toDF("nbr", "v1", "w1")
+      .join(wedge.toDF("nbr", "v2", "w2"), Seq("nbr"))
+      .where(col("v1") < col("v2"))
+      .groupBy("v1", "v2")
+      .agg(sum(least(col("w1"), col("w2"))).as("num"))
+    inter
+      .join(tot.select(col("id").as("v1"), col("tot").as("t1")), "v1")
+      .join(tot.select(col("id").as("v2"), col("tot").as("t2")), "v2")
+      .select(col("v1"), col("v2"),
+        expr("(num * 1000000) div (t1 + t2 - num)").as("wjac_micro"))
+      .where(col("wjac_micro") >= thresholdMicro)
+  }
+
   /** JSON-lines edge reader (S-family source format beside the text
     * edge list and parquet): explicit schema — NEVER inferSchema, which
     * would force a full pre-scan of the input — malformed lines dropped
