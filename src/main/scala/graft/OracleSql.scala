@@ -661,6 +661,31 @@ object OracleSql {
       .mkString(",\n ")
   }
 
+  /** Unrolled multi-seed PPR rounds keyed (seed, id) over e/v/d (UND):
+    * sparse state — q_i holds only (seed, id) pairs mass has reached.
+    * Teleport 0.15 applies on id = seed rows (incl. base-only seeds that
+    * received no mass, via the FULL JOIN against the seed table).
+    */
+  private def pprMultiRounds(k: Int, pred: String => String): String = {
+    val init =
+      s"""sd AS MATERIALIZED (SELECT id AS seed FROM v WHERE ${pred("id")}),
+         | q0 AS MATERIALIZED (SELECT seed, seed AS id, CAST(1.0 AS DOUBLE) AS pr FROM sd)""".stripMargin
+    val rounds = (1 to k).map { i =>
+      s"""qm$i AS MATERIALIZED (
+         |  SELECT r.seed, e.dst AS id, sum(r.pr / d.outdeg) AS mass
+         |  FROM e JOIN q${i - 1} r ON e.src = r.id JOIN d ON e.src = d.id
+         |  GROUP BY 1, 2),
+         | q$i AS MATERIALIZED (
+         |  SELECT coalesce(m.seed, s.seed) AS seed,
+         |    coalesce(m.id, s.seed) AS id,
+         |    (CASE WHEN coalesce(m.id, s.seed) = coalesce(m.seed, s.seed)
+         |          THEN 0.15 ELSE 0.0 END)
+         |      + 0.85 * coalesce(m.mass, 0.0) AS pr
+         |  FROM qm$i m FULL JOIN sd s ON s.seed = m.seed AND s.seed = m.id)""".stripMargin
+    }
+    (init +: rounds).mkString(",\n ")
+  }
+
   /** Unrolled k-truss peeling over an oriented (src<dst) simple edge CTE
     * named `cpf`: per round enumerate triangles (a<b<c triple join),
     * credit each triangle's three edges, drop edges with support < k−2.
@@ -2825,6 +2850,61 @@ object OracleSql {
         |  CAST(count(*) AS BIGINT) AS n
         |FROM ev GROUP BY CUBE(event_type, day)
         |ORDER BY event_type, day""".stripMargin,
+
+    // multi-seed personalized PageRank: 4 unrolled rounds keyed (seed, id),
+    // sparse state — rows exist only where mass has reached
+    "ppr_multi4" ->
+      s"""WITH $UND,
+         | ${pprMultiRounds(4, c => s"$c % 500 = 0")}
+         |SELECT seed, id, round(pr, 6) AS pr FROM q4
+         |ORDER BY seed, id""".stripMargin,
+
+    // connected components of the 3-truss subgraph: unrolled truss peel,
+    // then the mutual-reachability closure over the survivors
+    "truss_comm" ->
+      s"""WITH RECURSIVE cp AS ($CP),
+         | cpf AS (SELECT src, dst FROM cp WHERE weight >= 2),
+         | ${trussRounds(3, 5)},
+         | te AS (SELECT src, dst FROM s5 WHERE support >= 1),
+         | tes AS (SELECT src, dst FROM te UNION SELECT dst, src FROM te),
+         | reach AS (
+         |  SELECT src AS id, src AS lbl FROM tes
+         |  UNION
+         |  SELECT t.dst AS id, r.lbl FROM reach r JOIN tes t ON r.id = t.src)
+         |SELECT id, min(lbl) AS component FROM reach
+         |GROUP BY id ORDER BY id""".stripMargin,
+
+    // append-mode watermark late-drop simulation: batch k = event_id % 4,
+    // replayed in batch order. Three Spark behaviors pinned empirically by
+    // Wave26Spec (each with a discriminating fixture):
+    //  1. the LATE FILTER's watermark lags one batch — batch k is filtered
+    //     with stats through batch k−2 (AvailableNow pre-plans batches, so
+    //     each update takes effect one batch late);
+    //  2. a row is dropped iff its window END ≤ that wm (end == wm drops);
+    //  3. a window is EMITTED iff its end ≤ the FINAL wm, which does see
+    //     every batch's stats (the trailing no-data batch applies the last
+    //     update). Stats are tracked in ms (µs // 1000).
+    "stream_late" ->
+      """WITH ev AS (
+        |  SELECT event_id % 4 AS b, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        | bmax AS MATERIALIZED (SELECT b, max(us) AS mx FROM ev GROUP BY 1),
+        | wmk AS MATERIALIZED (
+        |  SELECT d.b, greatest(0,
+        |    coalesce((SELECT max(p.mx) FROM bmax p WHERE p.b <= d.b - 2), 0)
+        |      // 1000 - 3600000) * 1000 AS wm
+        |  FROM (SELECT DISTINCT b FROM ev) d),
+        | fwm AS (SELECT greatest(0,
+        |    (SELECT max(mx) FROM bmax) // 1000 - 3600000) * 1000 AS wm),
+        | kept AS (
+        |  SELECT e.us // 3600000000 AS hour_bucket, e.event_type,
+        |    ((e.us // 3600000000) + 1) * 3600000000 AS wend
+        |  FROM ev e JOIN wmk w ON w.b = e.b
+        |  WHERE ((e.us // 3600000000) + 1) * 3600000000 > w.wm)
+        |SELECT hour_bucket, event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM kept, fwm
+        |WHERE kept.wend <= fwm.wm
+        |GROUP BY 1, 2 ORDER BY hour_bucket, event_type""".stripMargin,
 
     // log2-bucketed joint degree matrix over the symmetrized graph
     "joint_degree" ->

@@ -1368,6 +1368,34 @@ object Queries {
       Paths.sigmaCounts(e, e.agg(min(col("src"))), 4).orderBy("id")
     }),
 
+    // --- multi-seed personalized PageRank: one SPARSE vector per seed
+    // (ids ≡ 0 mod 500), 4 fixed iterations keyed (seed, id) -------------
+    "ppr_multi4" -> ((s, dir) =>
+      PageRank.multiSeedFixedIterations(und(s, dir),
+        id => pmod(id, lit(500L)) === 0, 4)
+        .select(col("seed"), col("id"), round(col("rank"), 6).as("pr"))
+        .orderBy("seed", "id")),
+
+    // --- connected components OF the 3-truss subgraph (operator
+    // composition: truss peel → CC over the survivors — the
+    // "triangle-reinforced community cores" pipeline) ---------------------
+    "truss_comm" -> ((s, dir) => {
+      val (te, _) = graft.algos.Truss.converged(
+        TestGraphs.copurchase(s, dir)
+          .where(col("weight") >= 2).select("src", "dst"), 3)
+      ConnectedComponents.run(s, te.select("src", "dst"), cfg(s))
+        .state.orderBy("id")
+    }),
+
+    // --- APPEND-mode windowed counts under a real watermark late-drop
+    // (the streaming semantics complete mode can't show): deterministic
+    // event_id%4 batches, mtime-pinned replay order; boundaries pinned by
+    // Wave26Spec (drop iff end < wm, emit iff end ≤ final wm) -------------
+    "stream_late" -> ((s, dir) =>
+      graft.streaming.EdgeStream.lateDropWindowCounts(
+        TestGraphs.table(s, dir, "events"), 4, "1 hour")
+        .orderBy("hour_bucket", "event_type")),
+
     // --- CUBE rollup counts (event_type × epoch-day, all 4 grouping
     // sets), null groups coalesced to engine-agnostic sentinels ----------
     "cube_counts" -> ((s, dir) => {

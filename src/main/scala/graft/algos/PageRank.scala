@@ -222,6 +222,42 @@ object PageRank {
     rank
   }
 
+  /** Multi-seed personalized PageRank — one rank vector PER seed, kept
+    * SPARSE: state rows (seed, id, rank) exist only for pairs the mass has
+    * already reached, so state is O(Σ per-seed k-hop reach), never
+    * |seeds|·|V| — at web scale per-seed vectors stay localized around
+    * their seeds (the "related items for THIS item" batch-serving shape).
+    * Fixed-k lazily-composed trajectory, keyed by seed:
+    * r'(s,v) = 0.15·[v=s] + 0.85·Σ_in r(s,u)/outdeg(u) — the
+    * [[fixedIterations]] float discipline with (seed, id) aggregation
+    * keys, so every shuffle is keyed (seed, vertex) and seeds never
+    * synchronize with each other.
+    */
+  def multiSeedFixedIterations(edges: DataFrame,
+                               seedPred: Column => Column,
+                               k: Int): DataFrame = {
+    val e = edges.select("src", "dst")
+    val out = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val eDeg = e.join(out, "src")
+    val seeds = GraphOps.vertices(e).where(seedPred(col("id")))
+      .select(col("id").as("seed"))
+    val base = seeds.select(col("seed"), col("seed").as("id"),
+      lit(Teleport).as("r0"))
+    var rank = seeds.select(col("seed"), col("seed").as("id"),
+      lit(1.0).as("rank"))
+    for (_ <- 1 to k) {
+      val msgs = eDeg.join(rank.withColumnRenamed("id", "src"), "src")
+        .select(col("seed"), col("dst").as("id"),
+          (col("rank") / col("outdeg")).as("m"))
+        .groupBy("seed", "id").agg(sum(col("m")).as("mass"))
+      rank = base.join(msgs, Seq("seed", "id"), "full_outer")
+        .select(col("seed"), col("id"),
+          (coalesce(col("r0"), lit(0.0)) +
+            lit(Damping) * coalesce(col("mass"), lit(0.0))).as("rank"))
+    }
+    rank
+  }
+
   /** Lazily-composed fixed-k iteration plan (no actions) — the
     * oracle-checked query path; trajectory matches the unrolled DuckDB SQL
     * exactly. Vertices = edge endpoints.

@@ -283,6 +283,76 @@ object EdgeStream {
     }
   }
 
+  /** APPEND-mode windowed counts under a real watermark late-drop — the
+    * one streaming semantics the complete-mode shapes above cannot show:
+    * late rows are DROPPED and only watermark-finalized windows are
+    * emitted. The bounded replay is fully deterministic so the result
+    * crosses the DuckDB oracle gate:
+    *
+    *  - events are split into `splits` single-file batches by
+    *    `event_id % splits` (an explicit key, not a sampled range), and
+    *    each file's mtime is pinned to `base + k` seconds — the file
+    *    source orders by (mtime, path), so micro-batch k replays exactly
+    *    batch k;
+    *  - with `maxFilesPerTrigger = 1`, the LATE FILTER's watermark lags
+    *    one batch: batch k is filtered with event-time stats through batch
+    *    k−2 (AvailableNow pre-plans the batch sequence, so each watermark
+    *    update takes effect one batch late — pinned empirically);
+    *  - a row is dropped iff its window END ≤ that watermark (equality
+    *    drops), while a window is appended iff its end ≤ the FINAL
+    *    watermark, which sees every batch's stats via the trailing
+    *    no-data batch — all three boundaries pinned by Wave26Spec with
+    *    discriminating fixtures.
+    *
+    * Output: (hour_bucket, event_type, n) for finalized windows only.
+    */
+  def lateDropWindowCounts(events: DataFrame, splits: Int = 4,
+                           delay: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.types._
+    val spark = events.sparkSession
+    val tmp = java.nio.file.Files.createTempDirectory("graft-latewin").toString
+    try {
+      (0 until splits).foreach { k =>
+        events.where(pmod(col("event_id"), lit(splits)) === k)
+          .select(col("ts"), col("event_type"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/b$k")
+        // pin mtimes so (mtime, path) ordering replays batches in order
+        // regardless of write-job timing
+        val dir = new java.io.File(s"$tmp/b$k")
+        dir.listFiles().filter(_.getName.endsWith(".parquet")).foreach {
+          f => f.setLastModified(1000000000000L + k * 1000L)
+        }
+      }
+      val schema = StructType(Seq(
+        StructField("ts", TimestampType),
+        StructField("event_type", StringType)))
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/b*")
+      val agg = stream
+        .withWatermark("ts", delay)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select((unix_timestamp(col("window.start")) / 3600).cast("long")
+            .as("hour_bucket"),
+          col("event_type"), col("n"))
+      val name = s"graft_stream_late_${runCounter.incrementAndGet()}"
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val out = spark.table(name).localCheckpoint(true)
+      spark.catalog.dropTempView(name)
+      out
+    } finally {
+      import java.nio.file.{Files => F, Path}
+      val walk = F.walk(Path.of(tmp))
+      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => F.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
   /** Exact running out-degree per vertex in keyed state; emits the updated
     * degree for every vertex touched in a micro-batch (Update output mode).
     */
