@@ -78,11 +78,14 @@ object OracleSql {
       s"prof AS MATERIALIZED ($prof)").mkString(",\n ")
   }
 
-  /** md5-parity edge sign (0/1) on the canonical x:y endpoint string —
-    * the same value as the engine's `GraphOps.md5Prio(...) % 2`.
+  /** md5-prio of the canonical x:y endpoint string mod m — the same value
+    * as the engine's `GraphOps.md5Prio(concat_ws(":", x, y)) % m`.
     */
-  private def sgnSql(x: String, y: String): String =
-    s"(('0x' || substr(md5(CAST($x AS VARCHAR) || ':' || CAST($y AS VARCHAR)), 1, 15))::BIGINT % 2)"
+  private def md5ModSql(x: String, y: String, m: Int): String =
+    s"(('0x' || substr(md5(CAST($x AS VARCHAR) || ':' || CAST($y AS VARCHAR)), 1, 15))::BIGINT % $m)"
+
+  /** md5-parity edge sign (0/1). */
+  private def sgnSql(x: String, y: String): String = md5ModSql(x, y, 2)
 
   /** Unrolled Markov power steps (needs c, crs, t, mp0 in scope): per-term
     * floored micro-unit routing, absent types coalesced to 0.
@@ -660,6 +663,26 @@ object OracleSql {
     (s"r0 AS (SELECT id, CASE WHEN ${pred("id")} THEN 1.0 ELSE 0.0 END AS pr FROM v)" +: rounds)
       .mkString(",\n ")
   }
+
+  /** One bond-percolation threshold over the canonical edge CTE `cpf`:
+    * md5-hash edge survival under p%, symmetrize, recursive closure,
+    * one summary row (needs WITH RECURSIVE in the enclosing query).
+    */
+  private def percRound(p: Int): String =
+    s"""pk$p AS MATERIALIZED (
+       |  SELECT src, dst FROM cpf
+       |  WHERE ${md5ModSql("src", "dst", 100)} < $p),
+       | pse$p AS (SELECT src, dst FROM pk$p UNION SELECT dst, src FROM pk$p),
+       | preach$p AS (
+       |  SELECT src AS id, src AS lbl FROM pse$p
+       |  UNION
+       |  SELECT e.dst AS id, r.lbl FROM preach$p r JOIN pse$p e ON r.id = e.src),
+       | pcomp$p AS (SELECT id, min(lbl) AS c FROM preach$p GROUP BY id),
+       | psz$p AS (SELECT c, count(*) AS sz FROM pcomp$p GROUP BY 1),
+       | prow$p AS (SELECT CAST($p AS BIGINT) AS p_pct,
+       |  CAST(count(*) AS BIGINT) AS n_components,
+       |  CAST(coalesce(sum(sz), 0) AS BIGINT) AS n_vertices,
+       |  CAST(coalesce(max(sz), 0) AS BIGINT) AS max_size FROM psz$p)""".stripMargin
 
   /** Unrolled multi-seed PPR rounds keyed (seed, id) over e/v/d (UND):
     * sparse state — q_i holds only (seed, id) pairs mass has reached.
@@ -2905,6 +2928,55 @@ object OracleSql {
         |FROM kept, fwm
         |WHERE kept.wend <= fwm.wm
         |GROUP BY 1, 2 ORDER BY hour_bucket, event_type""".stripMargin,
+
+    // bond-percolation profile: md5-thresholded edge survival at 25/50/75%
+    // + a mutual-reachability closure per threshold
+    "percolation3" ->
+      s"""WITH RECURSIVE cp AS ($CP),
+         | cpf AS (SELECT src, dst FROM cp WHERE weight >= 2),
+         | ${Seq(25, 50, 75).map(percRound).mkString(",\n ")}
+         |SELECT * FROM prow25 UNION ALL SELECT * FROM prow50
+         |UNION ALL SELECT * FROM prow75 ORDER BY p_pct""".stripMargin,
+
+    // language confusion matrix: the lang_id scoring joined back to the
+    // corpus lang metadata
+    "lang_confusion" ->
+      s"""WITH $TOKS,
+         | sc AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(ts, x -> list_contains(['der','die','das','und','ist','nicht','ein'], x))) AS BIGINT) AS s_de,
+         |    CAST(len(list_filter(ts, x -> list_contains(['the','a','of','and','in','to','is'], x))) AS BIGINT) AS s_en,
+         |    CAST(len(list_filter(ts, x -> list_contains(['el','los','las','y','es','una','que'], x))) AS BIGINT) AS s_es,
+         |    CAST(len(list_filter(ts, x -> list_contains(['le','la','et','les','des','est','un'], x))) AS BIGINT) AS s_fr
+         |  FROM toks),
+         | pl AS (
+         |  SELECT doc_id,
+         |    CASE WHEN s_de >= greatest(s_en, s_es, s_fr) AND s_de > 0 THEN 'de'
+         |         WHEN s_en >= greatest(s_es, s_fr) AND s_en > 0 THEN 'en'
+         |         WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+         |         WHEN s_fr > 0 THEN 'fr' ELSE 'und' END AS pred_lang
+         |  FROM sc)
+         |SELECT d.lang, pl.pred_lang, CAST(count(*) AS BIGINT) AS n
+         |FROM pl JOIN documents d ON d.doc_id = pl.doc_id
+         |GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin,
+
+    // top-3 PageRank vertices per LP community: the pr5 and lp5 unrolled
+    // trajectories joined, ranked per community on the ROUNDED rank
+    "community_top3" ->
+      s"""WITH cp AS ($CP),
+         | cpf AS (SELECT src, dst FROM cp WHERE weight >= 2),
+         | e AS MATERIALIZED (SELECT src, dst FROM cpf UNION SELECT dst, src FROM cpf),
+         | v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         | d AS MATERIALIZED (SELECT src AS id, count(*) AS outdeg FROM e GROUP BY 1),
+         | ${prRounds(5)},
+         | ${lpRounds(5)},
+         | j AS (SELECT l.id, l.label, round(r.pr, 6) AS pr
+         |   FROM l5 l JOIN r5 r ON r.id = l.id),
+         | t AS (SELECT label, id, pr,
+         |   row_number() OVER (PARTITION BY label ORDER BY pr DESC, id) AS rk
+         |   FROM j)
+         |SELECT label, id, pr, CAST(rk AS BIGINT) AS rk FROM t
+         |WHERE rk <= 3 ORDER BY label, rk""".stripMargin,
 
     // log2-bucketed joint degree matrix over the symmetrized graph
     "joint_degree" ->

@@ -1396,6 +1396,56 @@ object Queries {
         TestGraphs.table(s, dir, "events"), 4, "1 hour")
         .orderBy("hour_bucket", "event_type")),
 
+    // --- bond-percolation robustness profile: keep each edge iff its
+    // md5 hash falls under p% (deterministic random failure — the
+    // complement of hub_attack's targeted removal), then component
+    // structure per threshold via the CC kernel ---------------------------
+    "percolation3" -> ((s, dir) => {
+      val cpf = TestGraphs.copurchase(s, dir).where(col("weight") >= 2)
+        .select("src", "dst").localCheckpoint(true)
+      val keyed = cpf.withColumn("h",
+        GraphOps.md5Prio(concat_ws(":", col("src"), col("dst"))) % 100)
+      Seq(25, 50, 75).map { p =>
+        val kept = keyed.where(col("h") < p).select("src", "dst")
+        ConnectedComponents.run(s, kept, cfg(s)).state
+          .groupBy("component").agg(count(lit(1)).as("sz"))
+          .agg(lit(p.toLong).as("p_pct"),
+            count(lit(1)).as("n_components"),
+            coalesce(sum("sz"), lit(0L)).as("n_vertices"),
+            coalesce(max("sz"), lit(0L)).as("max_size"))
+      }.reduce(_ unionByName _).orderBy("p_pct")
+    }),
+
+    // --- language confusion matrix: corpus lang metadata × n-gram-marker
+    // prediction — the quality dashboard for the lang-ID heuristic --------
+    "lang_confusion" -> ((s, dir) =>
+      TextOps.langId(docs(s, dir))
+        .join(docs(s, dir).select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred_lang")),
+
+    // --- top-3 PageRank vertices per LP community (operator composition:
+    // lp5 labels ⋈ pr5 ranks + one per-community window); ordering runs
+    // on the ROUNDED rank so both engines break ties identically ----------
+    "community_top3" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // weight≥2 graph: LP on the dense full graph collapses to ONE
+      // community (measured at sf0.01) — the sparse graph keeps real ones
+      val e = GraphOps.symmetrize(TestGraphs.copurchase(s, dir)
+        .where(col("weight") >= 2).select("src", "dst"))
+        .localCheckpoint(true)
+      val labels = LabelPropagation.fixedRounds(e, 5)
+      val ranks = PageRank.fixedIterations(e, 5)
+        .select(col("id"), round(col("rank"), 6).as("pr"))
+      val w = Window.partitionBy("label")
+        .orderBy(col("pr").desc, col("id"))
+      labels.join(ranks, "id")
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 3)
+        .select("label", "id", "pr", "rk")
+        .orderBy("label", "rk")
+    }),
+
     // --- CUBE rollup counts (event_type × epoch-day, all 4 grouping
     // sets), null groups coalesced to engine-agnostic sentinels ----------
     "cube_counts" -> ((s, dir) => {
