@@ -2978,6 +2978,68 @@ object OracleSql {
          |SELECT label, id, pr, CAST(rk AS BIGINT) AS rk FROM t
          |WHERE rk <= 3 ORDER BY label, rk""".stripMargin,
 
+    // reciprocal best match: top-1 cosine within the vec_id % 20 stratum,
+    // pairs kept only when mutual; rank on the ROUNDED cosine (Similarity
+    // topK discipline)
+    "mutual_nn" ->
+      s"""WITH sub AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0),
+         | pr AS (
+         |  SELECT a.vec_id AS v1, b.vec_id AS v2,
+         |    a.embedding AS ea, b.embedding AS eb
+         |  FROM sub a JOIN sub b ON a.vec_id <> b.vec_id),
+         |$CosTail,
+         | t1 AS (
+         |  SELECT v1 AS query_id, v2 AS neighbor_id, cos FROM (
+         |    SELECT d.v1, d.v2,
+         |      round(d.dot / (n1.nrm * n2.nrm), 6) AS cos,
+         |      row_number() OVER (PARTITION BY d.v1
+         |        ORDER BY round(d.dot / (n1.nrm * n2.nrm), 6) DESC, d.v2 ASC)
+         |        AS rk
+         |    FROM dots d JOIN norms n1 ON d.v1 = n1.vec_id
+         |    JOIN norms n2 ON d.v2 = n2.vec_id)
+         |  WHERE rk = 1)
+         |SELECT a.query_id AS v1, a.neighbor_id AS v2, a.cos
+         |FROM t1 a JOIN t1 b
+         |  ON a.query_id = b.neighbor_id AND a.neighbor_id = b.query_id
+         |WHERE a.query_id < a.neighbor_id
+         |ORDER BY v1""".stripMargin,
+
+    // robust DAU stats: exact discrete median + median absolute deviation
+    // (the Quantiles.discreteBy target convention: rank ceil(n·p/100))
+    "dau_mad" ->
+      """WITH du AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        | dau AS MATERIALIZED (
+        |  SELECT day, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY 1),
+        | n1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dau),
+        | c1 AS (SELECT dau AS v, row_number() OVER (ORDER BY dau) AS rn
+        |   FROM dau),
+        | med AS (SELECT min(v) AS median_dau FROM c1, n1
+        |   WHERE rn >= (n1.n * 50 + 99) // 100),
+        | dev AS (SELECT abs(dau.dau - med.median_dau) AS d FROM dau, med),
+        | c2 AS (SELECT d AS v, row_number() OVER (ORDER BY d) AS rn
+        |   FROM dev),
+        | mad AS (SELECT min(v) AS mad_dau FROM c2, n1
+        |   WHERE rn >= (n1.n * 50 + 99) // 100)
+        |SELECT med.median_dau, mad.mad_dau FROM med, mad""".stripMargin,
+
+    // weighted triangle strength: min edge weight per triangle, summed;
+    // orientation-invariant, so the id-ordered enumeration twins the
+    // engine's degree-ordered one
+    "tri_strength" ->
+      s"""WITH cp AS ($CP),
+         | cpf AS (SELECT src, dst, CAST(weight AS BIGINT) AS w
+         |   FROM cp WHERE weight >= 2),
+         | tri AS (
+         |  SELECT least(e1.w, e2.w, e3.w) AS mw
+         |  FROM cpf e1 JOIN cpf e2 ON e2.src = e1.dst
+         |  JOIN cpf e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+         |SELECT CAST(count(*) AS BIGINT) AS n_triangles,
+         |  CAST(coalesce(sum(mw), 0) AS BIGINT) AS strength_sum
+         |FROM tri""".stripMargin,
+
     // log2-bucketed joint degree matrix over the symmetrized graph
     "joint_degree" ->
       s"""WITH $UND

@@ -1446,6 +1446,51 @@ object Queries {
         .orderBy("label", "rk")
     }),
 
+    // --- reciprocal best match (mutual top-1 cosine neighbors) within the
+    // vec_id % 20 stratum — the high-precision duplicate-pair primitive
+    // (a pair survives only if each is the other's nearest) ---------------
+    "mutual_nn" -> ((s, dir) => {
+      val sub = emb(s, dir).where(pmod(col("vec_id"), lit(20L)) === 0)
+        .localCheckpoint(true)
+      val t1 = Similarity.topK(sub, sub, 1)
+        .select(col("query_id"), col("neighbor_id"), col("cos"))
+        .localCheckpoint(true)
+      t1.join(t1.toDF("q2", "n2", "c2"),
+          col("query_id") === col("n2") && col("neighbor_id") === col("q2"))
+        .where(col("query_id") < col("neighbor_id"))
+        .select(col("query_id").as("v1"), col("neighbor_id").as("v2"),
+          col("cos"))
+        .orderBy("v1")
+    }),
+
+    // --- robust daily-active-users statistics: exact discrete median +
+    // median absolute deviation (no mean/stddev float path) ---------------
+    "dau_mad" -> ((s, dir) => {
+      val dau = TestGraphs.table(s, dir, "events")
+        .select(col("user_id"),
+          expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+            .as("day"))
+        .distinct()
+        .groupBy("day").agg(count(lit(1)).as("dau"))
+        .localCheckpoint(true)
+      val med = graft.functions.Quantiles.discreteBy(
+          dau.select(lit("all").as("g"), col("dau")), "g", "dau", Seq(50))
+        .select(col("value").as("median_dau"))
+      val dev = dau.crossJoin(broadcast(med))
+        .select(lit("all").as("g"),
+          abs(col("dau") - col("median_dau")).as("dev"))
+      val mad = graft.functions.Quantiles.discreteBy(dev, "g", "dev", Seq(50))
+        .select(col("value").as("mad_dau"))
+      med.crossJoin(mad)
+    }),
+
+    // --- weighted triangle strength: Σ over triangles of the min edge
+    // weight (the weighted-clustering mass tc's pure count misses) --------
+    "tri_strength" -> ((s, dir) =>
+      TriangleCount.triangleStrength(
+        TestGraphs.copurchase(s, dir).where(col("weight") >= 2)
+          .select("src", "dst", "weight"))),
+
     // --- CUBE rollup counts (event_type × epoch-day, all 4 grouping
     // sets), null groups coalesced to engine-agnostic sentinels ----------
     "cube_counts" -> ((s, dir) => {
