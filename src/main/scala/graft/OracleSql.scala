@@ -3040,6 +3040,68 @@ object OracleSql {
          |  CAST(coalesce(sum(mw), 0) AS BIGINT) AS strength_sum
          |FROM tri""".stripMargin,
 
+    // star-schema revenue rollup through the dimension chain; revenue as
+    // per-row-rounded exact cents
+    "rev_region" ->
+      """SELECT r.r_name,
+        |  CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+        |  CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount)
+        |    * 100, 0) AS BIGINT)) AS BIGINT) AS rev_cents,
+        |  CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY 1, 2 ORDER BY r_name, yr""".stripMargin,
+
+    // user-day basket lift between event types, exact micro-units
+    "basket_lift" ->
+      """WITH b AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    event_type
+        |  FROM events),
+        | nb AS (SELECT CAST(count(*) AS BIGINT) AS nb
+        |   FROM (SELECT DISTINCT user_id, day FROM b)),
+        | nt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nt
+        |   FROM b GROUP BY 1),
+        | p AS (
+        |  SELECT a.event_type AS t1, c.event_type AS t2,
+        |    CAST(count(*) AS BIGINT) AS n_pair
+        |  FROM b a JOIN b c ON a.user_id = c.user_id AND a.day = c.day
+        |    AND a.event_type < c.event_type
+        |  GROUP BY 1, 2)
+        |SELECT p.t1, p.t2, p.n_pair,
+        |  CAST((p.n_pair * nb.nb * 1000000) // (n1.nt * n2.nt) AS BIGINT)
+        |    AS lift_micro
+        |FROM p CROSS JOIN nb
+        |JOIN nt n1 ON n1.event_type = p.t1
+        |JOIN nt n2 ON n2.event_type = p.t2
+        |ORDER BY t1, t2""".stripMargin,
+
+    // ego-net density of the top-8 degree hubs: spokes + edges among the
+    // neighborhood, density vs the (deg+1)-clique in micro-units
+    "ego_density" ->
+      s"""WITH cp AS ($CP),
+         | cpf AS (SELECT src, dst FROM cp WHERE weight >= 2),
+         | e AS (SELECT src, dst FROM cpf UNION SELECT dst, src FROM cpf),
+         | d AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+         |   FROM e GROUP BY 1),
+         | hubs AS (SELECT id AS hub, deg AS hdeg FROM d
+         |   ORDER BY deg DESC, id LIMIT 8),
+         | nbrs AS (SELECT h.hub, e.dst AS nbr
+         |   FROM e JOIN hubs h ON e.src = h.hub),
+         | among AS (
+         |  SELECT n1.hub, CAST(count(*) AS BIGINT) AS among
+         |  FROM cpf c JOIN nbrs n1 ON n1.nbr = c.src
+         |  JOIN nbrs n2 ON n2.hub = n1.hub AND n2.nbr = c.dst
+         |  GROUP BY 1)
+         |SELECT h.hub AS hub, h.hdeg AS deg,
+         |  CAST(h.hdeg + coalesce(a.among, 0) AS BIGINT) AS ego_edges,
+         |  CAST((2 * (h.hdeg + coalesce(a.among, 0)) * 1000000)
+         |    // ((h.hdeg + 1) * h.hdeg) AS BIGINT) AS density_micro
+         |FROM hubs h LEFT JOIN among a ON a.hub = h.hub
+         |ORDER BY deg DESC, hub""".stripMargin,
+
     // log2-bucketed joint degree matrix over the symmetrized graph
     "joint_degree" ->
       s"""WITH $UND

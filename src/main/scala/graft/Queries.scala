@@ -1491,6 +1491,76 @@ object Queries {
         TestGraphs.copurchase(s, dir).where(col("weight") >= 2)
           .select("src", "dst", "weight"))),
 
+    // --- star-schema revenue rollup (the §2.5 broadcast-dim join family
+    // end-to-end): fact lineitem through orders→customer→nation→region,
+    // revenue in exact cents, grouped by (region, order year) -------------
+    "rev_region" -> ((s, dir) => {
+      val li = TestGraphs.table(s, dir, "lineitem")
+      val o = TestGraphs.table(s, dir, "orders")
+      val c = TestGraphs.table(s, dir, "customer")
+      val n = TestGraphs.table(s, dir, "nation")
+      val r = TestGraphs.table(s, dir, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), year(col("o_orderdate")).cast("long")
+          .as("yr"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1.0)
+            - col("l_discount")) * 100, 0).cast("long")).as("rev_cents"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy("r_name", "yr")
+    }),
+
+    // --- user-day basket lift between event types: co-occurrence in the
+    // same (user, day) basket vs independence, in exact micro-units -------
+    "basket_lift" -> ((s, dir) => {
+      val b = TestGraphs.table(s, dir, "events")
+        .select(col("user_id"),
+          expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+            .as("day"), col("event_type"))
+        .distinct().localCheckpoint(true)
+      val nb = b.select("user_id", "day").distinct().count()
+      val nt = b.groupBy(col("event_type")).agg(count(lit(1)).as("nt"))
+      val pairs = b.toDF("user_id", "day", "t1")
+        .join(b.toDF("user_id", "day", "t2"), Seq("user_id", "day"))
+        .where(col("t1") < col("t2"))
+        .groupBy("t1", "t2").agg(count(lit(1)).as("n_pair"))
+      pairs
+        .join(broadcast(nt.toDF("t1", "n1")), "t1")
+        .join(broadcast(nt.toDF("t2", "n2")), "t2")
+        .select(col("t1"), col("t2"), col("n_pair"),
+          expr(s"(n_pair * ${nb}L * 1000000) div (n1 * n2)")
+            .as("lift_micro"))
+        .orderBy("t1", "t2")
+    }),
+
+    // --- ego-net density of the top-8 degree hubs (weight≥2 graph): the
+    // "is the celebrity's neighborhood a clique or a star?" diagnostic ----
+    "ego_density" -> ((s, dir) => {
+      val cpf = TestGraphs.copurchase(s, dir).where(col("weight") >= 2)
+        .select("src", "dst").localCheckpoint(true)
+      val und2 = GraphOps.symmetrize(cpf)
+      val deg = und2.groupBy(col("src").as("id"))
+        .agg(count(lit(1)).as("deg"))
+      val hubs = deg.orderBy(col("deg").desc, col("id")).limit(8)
+        .toDF("hub", "hdeg")
+      val nbrs = und2.join(broadcast(hubs),
+          col("src") === col("hub"))
+        .select(col("hub"), col("dst").as("nbr"))
+        .localCheckpoint(true)
+      val among = cpf
+        .join(nbrs.toDF("hub", "src"), Seq("src"))
+        .join(nbrs.toDF("hub", "dst"), Seq("dst", "hub"), "left_semi")
+        .groupBy("hub").agg(count(lit(1)).as("among"))
+      hubs.join(among, Seq("hub"), "left")
+        .select(col("hub"), col("hdeg").as("deg"),
+          (col("hdeg") + coalesce(col("among"), lit(0L))).as("ego_edges"),
+          expr("(2 * (hdeg + coalesce(among, 0)) * 1000000) div ((hdeg + 1) * hdeg)")
+            .as("density_micro"))
+        .orderBy(col("deg").desc, col("hub"))
+    }),
+
     // --- CUBE rollup counts (event_type × epoch-day, all 4 grouping
     // sets), null groups coalesced to engine-agnostic sentinels ----------
     "cube_counts" -> ((s, dir) => {
