@@ -684,6 +684,19 @@ object OracleSql {
        |  CAST(coalesce(sum(sz), 0) AS BIGINT) AS n_vertices,
        |  CAST(coalesce(max(sz), 0) AS BIGINT) AS max_size FROM psz$p)""".stripMargin
 
+  /** Unrolled 1-WL refinement rounds over e and a seed CTE w0: label' =
+    * md5(label | comma-joined SORTED neighbor labels), '' when isolated.
+    */
+  private def wlRounds(k: Int): String =
+    (1 to k).map { i =>
+      s"""wn$i AS MATERIALIZED (
+         |  SELECT e.dst AS id, string_agg(x.wl, ',' ORDER BY x.wl) AS ns
+         |  FROM e JOIN w${i - 1} x ON e.src = x.id GROUP BY 1),
+         | w$i AS MATERIALIZED (
+         |  SELECT w.id, md5(w.wl || '|' || coalesce(n.ns, '')) AS wl
+         |  FROM w${i - 1} w LEFT JOIN wn$i n ON n.id = w.id)""".stripMargin
+    }.mkString(",\n ")
+
   /** Unrolled multi-seed PPR rounds keyed (seed, id) over e/v/d (UND):
     * sparse state — q_i holds only (seed, id) pairs mass has reached.
     * Teleport 0.15 applies on id = seed rows (incl. base-only seeds that
@@ -3101,6 +3114,77 @@ object OracleSql {
          |    // ((h.hdeg + 1) * h.hdeg) AS BIGINT) AS density_micro
          |FROM hubs h LEFT JOIN among a ON a.hub = h.hub
          |ORDER BY deg DESC, hub""".stripMargin,
+
+    // 1-WL color refinement: 3 unrolled rounds, sorted-neighbor-label md5
+    // from a degree seed
+    "wl3" ->
+      s"""WITH cp AS ($CP),
+         | cpf AS (SELECT src, dst FROM cp WHERE weight >= 2),
+         | e AS MATERIALIZED (SELECT src, dst FROM cpf UNION SELECT dst, src FROM cpf),
+         | d AS (SELECT src AS id, count(*) AS deg FROM e GROUP BY 1),
+         | w0 AS MATERIALIZED (
+         |  SELECT id, md5(CAST(deg AS VARCHAR)) AS wl FROM d),
+         | ${wlRounds(3)}
+         |SELECT id, wl FROM w3 ORDER BY id""".stripMargin,
+
+    // Apriori frequent triples at >=5% basket support: candidates only
+    // from frequent pairs, then one 3-way membership count
+    "basket_triples" ->
+      """WITH b AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    event_type
+        |  FROM events),
+        | nbx AS (SELECT CAST(count(*) AS BIGINT) AS nb
+        |   FROM (SELECT DISTINCT user_id, day FROM b)),
+        | ms AS (SELECT (nb * 5 + 99) // 100 AS m FROM nbx),
+        | p AS (SELECT a.event_type AS t1, c.event_type AS t2,
+        |    CAST(count(*) AS BIGINT) AS np
+        |  FROM b a JOIN b c ON a.user_id = c.user_id AND a.day = c.day
+        |    AND a.event_type < c.event_type
+        |  GROUP BY 1, 2),
+        | fp AS (SELECT t1, t2 FROM p, ms WHERE np >= m),
+        | cand AS (
+        |  SELECT x.t1, x.t2, y.t2 AS t3
+        |  FROM fp x JOIN fp y ON x.t1 = y.t1 AND x.t2 < y.t2
+        |  WHERE EXISTS (SELECT 1 FROM fp z
+        |    WHERE z.t1 = x.t2 AND z.t2 = y.t2)),
+        | tri AS (
+        |  SELECT c.t1, c.t2, c.t3, CAST(count(*) AS BIGINT) AS n
+        |  FROM cand c JOIN b b1 ON b1.event_type = c.t1
+        |  JOIN b b2 ON b2.user_id = b1.user_id AND b2.day = b1.day
+        |    AND b2.event_type = c.t2
+        |  JOIN b b3 ON b3.user_id = b1.user_id AND b3.day = b1.day
+        |    AND b3.event_type = c.t3
+        |  GROUP BY 1, 2, 3)
+        |SELECT t1, t2, t3, n FROM tri, ms WHERE n >= m
+        |ORDER BY t1, t2, t3""".stripMargin,
+
+    // inter-arrival gap quantiles per type: one user-keyed window, then
+    // the discreteBy histogram-rank recipe in whole seconds
+    "gap_quantiles" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        | g0 AS (SELECT event_type, us,
+        |   lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |     AS nxt
+        |  FROM e),
+        | c AS (SELECT event_type, (nxt - us) // 1000000 AS v
+        |   FROM g0 WHERE nxt IS NOT NULL),
+        | hist AS (SELECT event_type AS g, v, CAST(count(*) AS BIGINT)
+        |     AS cnt
+        |   FROM c GROUP BY 1, 2),
+        | cum AS (SELECT g, v,
+        |   sum(cnt) OVER (PARTITION BY g ORDER BY v) AS cum FROM hist),
+        | n AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n FROM hist
+        |   GROUP BY 1),
+        | p AS (SELECT n.g, CAST(t.pct AS BIGINT) AS pct,
+        |   (n.n * t.pct + 99) // 100 AS target
+        |   FROM n, unnest([50, 90, 99]) AS t(pct))
+        |SELECT p.g AS event_type, p.pct, CAST(min(c2.v) AS BIGINT)
+        |    AS value
+        |FROM p JOIN cum c2 ON p.g = c2.g AND c2.cum >= p.target
+        |GROUP BY 1, 2 ORDER BY event_type, pct""".stripMargin,
 
     // log2-bucketed joint degree matrix over the symmetrized graph
     "joint_degree" ->

@@ -1561,6 +1561,82 @@ object Queries {
         .orderBy(col("deg").desc, col("hub"))
     }),
 
+    // --- 1-WL (Weisfeiler–Leman) color refinement, 3 rounds: label' =
+    // md5(label | sorted neighbor labels) from a degree seed — the graph
+    // fingerprinting / structural-role primitive; sort_array makes the
+    // aggregate order-insensitive so the hash is shuffle-stable -----------
+    "wl3" -> ((s, dir) => {
+      val e = GraphOps.symmetrize(TestGraphs.copurchase(s, dir)
+        .where(col("weight") >= 2).select("src", "dst"))
+        .localCheckpoint(true)
+      val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      var lab = deg.select(col("id"),
+        md5(col("deg").cast("string")).as("wl"))
+      for (_ <- 1 to 3) {
+        val nl = e
+          .join(lab.select(col("id").as("src"), col("wl").as("nwl")), "src")
+          .groupBy(col("dst").as("id"))
+          .agg(concat_ws(",", sort_array(collect_list(col("nwl"))))
+            .as("ns"))
+        lab = lab.join(nl, Seq("id"), "left")
+          .select(col("id"),
+            md5(concat_ws("|", col("wl"), coalesce(col("ns"), lit(""))))
+              .as("wl"))
+      }
+      lab.orderBy("id")
+    }),
+
+    // --- Apriori step: frequent event-type triples in (user, day)
+    // baskets at ≥5% support — candidate triples come ONLY from frequent
+    // pairs (the pruning join), then one 3-way basket membership count ---
+    "basket_triples" -> ((s, dir) => {
+      val b = TestGraphs.table(s, dir, "events")
+        .select(col("user_id"),
+          expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+            .as("day"), col("event_type"))
+        .distinct().localCheckpoint(true)
+      val nb = b.select("user_id", "day").distinct().count()
+      val minSup = (nb * 5 + 99) / 100
+      val pairs = b.toDF("user_id", "day", "t1")
+        .join(b.toDF("user_id", "day", "t2"), Seq("user_id", "day"))
+        .where(col("t1") < col("t2"))
+        .groupBy("t1", "t2").agg(count(lit(1)).as("np"))
+        .where(col("np") >= minSup).localCheckpoint(true)
+      val cand = pairs.select("t1", "t2")
+        .join(pairs.toDF("t1", "t3", "np2").select("t1", "t3"), "t1")
+        .where(col("t2") < col("t3"))
+        .join(pairs.toDF("t2", "t3", "np3").select("t2", "t3"),
+          Seq("t2", "t3"), "left_semi")
+      cand
+        .join(b.toDF("user_id", "day", "t1"), "t1")
+        .join(b.toDF("user_id", "day", "t2"), Seq("user_id", "day", "t2"),
+          "left_semi")
+        .join(b.toDF("user_id", "day", "t3"), Seq("user_id", "day", "t3"),
+          "left_semi")
+        .groupBy("t1", "t2", "t3").agg(count(lit(1)).as("n"))
+        .where(col("n") >= minSup)
+        .orderBy("t1", "t2", "t3")
+    }),
+
+    // --- inter-arrival gap quantiles per event type (gap to the user's
+    // next event, attributed to the earlier event's type; exact discrete
+    // ranks in whole seconds) ---------------------------------------------
+    "gap_quantiles" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("us"), col("event_id"))
+      val gaps = TestGraphs.table(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("unix_micros(cast(ts as timestamp))").as("us"))
+        .withColumn("nxt", lead(col("us"), 1).over(w))
+        .where(col("nxt").isNotNull)
+        .select(col("event_type"),
+          expr("(nxt - us) div 1000000").as("gap_s"))
+      graft.functions.Quantiles.discreteBy(gaps, "event_type", "gap_s",
+          Seq(50, 90, 99))
+        .orderBy("event_type", "pct")
+    }),
+
     // --- CUBE rollup counts (event_type × epoch-day, all 4 grouping
     // sets), null groups coalesced to engine-agnostic sentinels ----------
     "cube_counts" -> ((s, dir) => {
