@@ -3186,6 +3186,70 @@ object OracleSql {
         |FROM p JOIN cum c2 ON p.g = c2.g AND c2.cum >= p.target
         |GROUP BY 1, 2 ORDER BY event_type, pct""".stripMargin,
 
+    // distinctive terms per language: cross-multiplied corpus lift in
+    // micro-units, top-3 per lang at tf >= 5
+    "lang_terms3" ->
+      s"""WITH $TOKS,
+         | tt AS MATERIALIZED (
+         |  SELECT d.lang, t.tok FROM (
+         |    SELECT doc_id, unnest(ts) AS tok FROM toks) t
+         |  JOIN documents d ON d.doc_id = t.doc_id),
+         | tfl AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS tfl
+         |   FROM tt GROUP BY 1, 2),
+         | tfa AS (SELECT tok, CAST(count(*) AS BIGINT) AS tfa
+         |   FROM tt GROUP BY 1),
+         | nl AS (SELECT lang, CAST(count(*) AS BIGINT) AS nl
+         |   FROM tt GROUP BY 1),
+         | na AS (SELECT CAST(count(*) AS BIGINT) AS na FROM tt),
+         | lift AS (
+         |  SELECT f.lang, f.tok, f.tfl,
+         |    (f.tfl * na.na * 1000000) // (a.tfa * nl.nl) AS lift_micro
+         |  FROM tfl f JOIN tfa a ON a.tok = f.tok
+         |  JOIN nl ON nl.lang = f.lang CROSS JOIN na
+         |  WHERE f.tfl >= 5),
+         | rk AS (SELECT lang, tok, tfl, lift_micro,
+         |   row_number() OVER (PARTITION BY lang
+         |     ORDER BY lift_micro DESC, tok) AS rk
+         |   FROM lift)
+         |SELECT lang, tok, tfl, CAST(lift_micro AS BIGINT) AS lift_micro,
+         |  CAST(rk AS BIGINT) AS rk
+         |FROM rk WHERE rk <= 3 ORDER BY lang, rk""".stripMargin,
+
+    // trailing-7-day revenue per type: day-keyed RANGE window frame over
+    // the daily rollup
+    "rev_rolling7" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, cents,
+        |  CAST(sum(cents) OVER (PARTITION BY event_type ORDER BY day
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cents7
+        |FROM daily ORDER BY event_type, day""".stripMargin,
+
+    // robust outlier days: |dau - median| > 3*MAD via the dau_mad ranks
+    "dau_outliers" ->
+      """WITH du AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        | dau AS MATERIALIZED (
+        |  SELECT day, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY 1),
+        | n1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dau),
+        | c1 AS (SELECT dau AS v, row_number() OVER (ORDER BY dau) AS rn
+        |   FROM dau),
+        | med AS (SELECT min(v) AS m FROM c1, n1
+        |   WHERE rn >= (n1.n * 50 + 99) // 100),
+        | dev AS (SELECT abs(dau.dau - med.m) AS d FROM dau, med),
+        | c2 AS (SELECT d AS v, row_number() OVER (ORDER BY d) AS rn
+        |   FROM dev),
+        | mad AS (SELECT min(v) AS m FROM c2, n1
+        |   WHERE rn >= (n1.n * 50 + 99) // 100)
+        |SELECT dau.day, dau.dau FROM dau, med, mad
+        |WHERE abs(dau.dau - med.m) > 3 * mad.m
+        |ORDER BY day""".stripMargin,
+
     // log2-bucketed joint degree matrix over the symmetrized graph
     "joint_degree" ->
       s"""WITH $UND

@@ -1637,6 +1637,70 @@ object Queries {
         .orderBy("event_type", "pct")
     }),
 
+    // --- distinctive terms per language: corpus-lift in exact micro-units
+    // (tf_lang/tok_lang vs tf_all/tok_all, cross-multiplied), top-3 per
+    // lang at a tf ≥ 5 noise floor --------------------------------------
+    "lang_terms3" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = docs(s, dir)
+        .select(col("lang"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .localCheckpoint(true)
+      val tfLang = toks.groupBy("lang", "tok").agg(count(lit(1)).as("tfl"))
+      val tfAll = toks.groupBy("tok").agg(count(lit(1)).as("tfa"))
+      val tokLang = toks.groupBy("lang").agg(count(lit(1)).as("nl"))
+      val tokAll = toks.count()
+      val w = Window.partitionBy("lang")
+        .orderBy(col("lift_micro").desc, col("tok"))
+      tfLang.where(col("tfl") >= 5)
+        .join(tfAll, "tok")
+        .join(broadcast(tokLang), "lang")
+        .select(col("lang"), col("tok"), col("tfl"),
+          expr(s"(tfl * ${tokAll}L * 1000000) div (tfa * nl)")
+            .as("lift_micro"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 3)
+        .orderBy("lang", "rk")
+    }),
+
+    // --- trailing-7-day revenue per event type: a RANGE-frame window
+    // over the daily rollup (day-keyed frame, not row-counted) ------------
+    "rev_rolling7" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = TestGraphs.table(s, dir, "events")
+        .select(col("event_type"),
+          expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+            .as("day"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+        .groupBy("event_type", "day").agg(sum(col("cents")).as("cents"))
+      val w = Window.partitionBy("event_type").orderBy(col("day"))
+        .rangeBetween(-6, 0)
+      daily.withColumn("cents7", sum(col("cents")).over(w))
+        .orderBy("event_type", "day")
+    }),
+
+    // --- robust outlier days: |dau − median| > 3·MAD (the dau_mad
+    // statistics applied as a filter — no mean/stddev float path) ---------
+    "dau_outliers" -> ((s, dir) => {
+      val dau = TestGraphs.table(s, dir, "events")
+        .select(col("user_id"),
+          expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+            .as("day"))
+        .distinct()
+        .groupBy("day").agg(count(lit(1)).as("dau"))
+        .localCheckpoint(true)
+      val med = graft.functions.Quantiles.discreteBy(
+          dau.select(lit("all").as("g"), col("dau")), "g", "dau", Seq(50))
+        .select(col("value").as("med"))
+      val dev = dau.crossJoin(broadcast(med))
+        .select(lit("all").as("g"), abs(col("dau") - col("med")).as("dev"))
+      val mad = graft.functions.Quantiles.discreteBy(dev, "g", "dev", Seq(50))
+        .select(col("value").as("mad"))
+      dau.crossJoin(broadcast(med)).crossJoin(broadcast(mad))
+        .where(abs(col("dau") - col("med")) > lit(3) * col("mad"))
+        .select("day", "dau")
+        .orderBy("day")
+    }),
+
     // --- CUBE rollup counts (event_type × epoch-day, all 4 grouping
     // sets), null groups coalesced to engine-agnostic sentinels ----------
     "cube_counts" -> ((s, dir) => {
