@@ -3250,6 +3250,57 @@ object OracleSql {
         |WHERE abs(dau.dau - med.m) > 3 * mad.m
         |ORDER BY day""".stripMargin,
 
+    // last-touch attribution: immediate predecessor within 7 days under
+    // the (us, event_id) total order, else 'none'
+    "attribution_last" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        | p AS (
+        |  SELECT event_type, us,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) AS prev_t,
+        |    lag(us) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) AS prev_us
+        |  FROM e)
+        |SELECT CASE WHEN prev_t IS NOT NULL
+        |    AND us - prev_us <= 7 * 86400000000 THEN prev_t
+        |    ELSE 'none' END AS attr_type,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM p WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY attr_type""".stripMargin,
+
+    // OOV rate per doc vs the deterministic top-10 vocabulary cut
+    "oov_rate" ->
+      s"""WITH $TOKS,
+         | tt AS MATERIALIZED (
+         |  SELECT doc_id, unnest(ts) AS tok FROM toks),
+         | vocab AS (
+         |  SELECT tok FROM (
+         |    SELECT tok, count(*) AS cnt FROM tt GROUP BY 1
+         |    ORDER BY cnt DESC, tok LIMIT 10)),
+         | f AS (
+         |  SELECT t.doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_toks,
+         |    CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS oov
+         |  FROM tt t LEFT JOIN vocab v ON v.tok = t.tok
+         |  GROUP BY 1)
+         |SELECT doc_id, n_toks,
+         |  CAST((oov * 1000000) // n_toks AS BIGINT) AS oov_micro
+         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // stream-stream windowed self-join ≡ batch interval self-join (the
+    // watermark exceeds the replay span, so nothing drops)
+    "stream_sj" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events)
+        |SELECT a.event_type AS t1, b.event_type AS t2,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM e a JOIN e b ON a.user_id = b.user_id
+        |  AND b.us > a.us AND b.us <= a.us + 3600000000
+        |GROUP BY 1, 2 ORDER BY t1, t2""".stripMargin,
+
     // log2-bucketed joint degree matrix over the symmetrized graph
     "joint_degree" ->
       s"""WITH $UND

@@ -1701,6 +1701,57 @@ object Queries {
         .orderBy("day")
     }),
 
+    // --- last-touch attribution: each purchase credited to the user's
+    // immediately preceding event (any type) within 7 days, else 'none';
+    // one user-keyed lag window + a small count --------------------------
+    "attribution_last" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("us"), col("event_id"))
+      TestGraphs.table(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("unix_micros(cast(ts as timestamp))").as("us"))
+        .withColumn("prev_t", lag(col("event_type"), 1).over(w))
+        .withColumn("prev_us", lag(col("us"), 1).over(w))
+        .where(col("event_type") === "purchase")
+        .select(when(col("prev_t").isNotNull &&
+            col("us") - col("prev_us") <= 7L * 86400000000L,
+            col("prev_t")).otherwise(lit("none")).as("attr_type"))
+        .groupBy("attr_type").agg(count(lit(1)).as("n"))
+        .orderBy("attr_type")
+    }),
+
+    // --- out-of-vocabulary rate per document vs the top-k corpus
+    // vocabulary (top-10 here: the synthetic corpus has only 31 distinct
+    // tokens, measured - a larger cut would be vacuously all-in-vocab) — the data-quality
+    // "is this doc normal text?" signal, exact micro-units ----------------
+    "oov_rate" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text")))
+          .as("tok"))
+        .localCheckpoint(true)
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok")).limit(10)
+        .select("tok")
+      val flags = toks.join(broadcast(vocab.withColumn("iv", lit(1L))),
+          Seq("tok"), "left")
+      flags.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"),
+          sum(when(col("iv").isNull, 1L).otherwise(0L)).as("oov"))
+        .select(col("doc_id"), col("n_toks"),
+          expr("(oov * 1000000) div n_toks").as("oov_micro"))
+        .orderBy("doc_id")
+    }),
+
+    // --- stream-stream windowed self-join (the missing streaming join
+    // shape): same-user event pairs within (0, 1h], watermark beyond the
+    // replay span so the drained append output ≡ the batch interval join —
+    // which is exactly the oracle ----------------------------------------
+    "stream_sj" -> ((s, dir) =>
+      graft.streaming.EdgeStream.pairJoinViaStream(
+        TestGraphs.table(s, dir, "events"), 4)
+        .orderBy("t1", "t2")),
+
     // --- CUBE rollup counts (event_type × epoch-day, all 4 grouping
     // sets), null groups coalesced to engine-agnostic sentinels ----------
     "cube_counts" -> ((s, dir) => {

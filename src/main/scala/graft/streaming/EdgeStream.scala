@@ -353,6 +353,69 @@ object EdgeStream {
     }
   }
 
+  /** STREAM-STREAM windowed self-join — the one streaming join shape the
+    * ledger's stream-static enrich cannot show: the event stream joined
+    * to itself on user within a (0, 1 hour] event-time range. Both sides
+    * carry a watermark far beyond the replay's time span (the default
+    * covers a year -- the sf tables span ~30 days), so no pair is
+    * dropped and the drained append output is EXACTLY the batch
+    * interval self-join — which is the oracle. The joined pairs land in
+    * the sink and are aggregated batch-side to (t1, t2, n).
+    *
+    * Replay determinism: same event_id%splits single-file mtime-pinned
+    * batches as [[lateDropWindowCounts]]. Join state is bounded by the
+    * replay size here; in production the watermark bound is what evicts
+    * buffered rows — the delay IS the state-size knob.
+    */
+  def pairJoinViaStream(events: DataFrame, splits: Int = 4,
+                        delay: String = "9000 hours"): DataFrame = {
+    import org.apache.spark.sql.types._
+    val spark = events.sparkSession
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ssjoin").toString
+    try {
+      (0 until splits).foreach { k =>
+        events.where(pmod(col("event_id"), lit(splits)) === k)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/b$k")
+        new java.io.File(s"$tmp/b$k").listFiles()
+          .filter(_.getName.endsWith(".parquet")).foreach {
+            f => f.setLastModified(1000000000000L + k * 1000L)
+          }
+      }
+      val schema = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("ts", TimestampType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType)))
+      def side(tag: String) = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/b*")
+        .select(col("event_id").as(s"id$tag"), col("ts").as(s"ts$tag"),
+          col("user_id").as(s"u$tag"), col("event_type").as(s"t$tag"))
+        .withWatermark(s"ts$tag", delay)
+      val joined = side("1").join(side("2"),
+        expr("u1 = u2 AND ts2 > ts1 AND ts2 <= ts1 + interval 1 hour"))
+        .select(col("t1"), col("t2"))
+      val name = s"graft_stream_ssj_${runCounter.incrementAndGet()}"
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val out = spark.table(name)
+        .groupBy("t1", "t2").agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      spark.catalog.dropTempView(name)
+      out
+    } finally {
+      import java.nio.file.{Files => F, Path}
+      val walk = F.walk(Path.of(tmp))
+      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => F.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
   /** Exact running out-degree per vertex in keyed state; emits the updated
     * degree for every vertex touched in a micro-batch (Update output mode).
     */
