@@ -78,6 +78,29 @@ object OracleSql {
       s"prof AS MATERIALIZED ($prof)").mkString(",\n ")
   }
 
+  /** Unrolled WEIGHTED ε=1 densest-peel rounds over the symmetric
+    * weighted CTE `ew` (src, dst, w): drop wdeg·n ≤ 2·w2. Emits `wprof`.
+    */
+  private def densestWRounds(k: Int): String = {
+    val rounds = (1 to k).map { i =>
+      s"""wd$i AS MATERIALIZED (
+         |  SELECT src AS id, sum(w) AS wdeg FROM we${i - 1} GROUP BY 1),
+         | ws$i AS MATERIALIZED (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(coalesce(sum(wdeg), 0) AS BIGINT) AS w2 FROM wd$i),
+         | wk$i AS MATERIALIZED (
+         |  SELECT id FROM wd$i, ws$i WHERE wdeg * n > 2 * w2),
+         | we$i AS MATERIALIZED (
+         |  SELECT e.src, e.dst, e.w FROM we${i - 1} e
+         |  JOIN wk$i a ON a.id = e.src JOIN wk$i b ON b.id = e.dst)""".stripMargin
+    }
+    val prof = (1 to k)
+      .map(i => s"SELECT $i AS round, n, w2 FROM ws$i WHERE n > 0")
+      .mkString(" UNION ALL ")
+    (("we0 AS MATERIALIZED (SELECT src, dst, w FROM ew)" +: rounds) :+
+      s"wprof AS MATERIALIZED ($prof)").mkString(",\n ")
+  }
+
   /** md5-prio of the canonical x:y endpoint string mod m — the same value
     * as the engine's `GraphOps.md5Prio(concat_ws(":", x, y)) % m`.
     */
@@ -3300,6 +3323,57 @@ object OracleSql {
         |FROM e a JOIN e b ON a.user_id = b.user_id
         |  AND b.us > a.us AND b.us <= a.us + 3600000000
         |GROUP BY 1, 2 ORDER BY t1, t2""".stripMargin,
+
+    // temporal 3-chain motif census: both gaps in (0, 1h]
+    "chains3" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events)
+        |SELECT a.event_type AS t1, b.event_type AS t2,
+        |  c.event_type AS t3, CAST(count(*) AS BIGINT) AS n
+        |FROM e a
+        |JOIN e b ON b.user_id = a.user_id
+        |  AND b.us > a.us AND b.us <= a.us + 3600000000
+        |JOIN e c ON c.user_id = b.user_id
+        |  AND c.us > b.us AND c.us <= b.us + 3600000000
+        |GROUP BY 1, 2, 3 ORDER BY t1, t2, t3""".stripMargin,
+
+    // weighted densest peel: 16 unrolled rounds on weighted degree over
+    // the weight>=2 integral-weight co-purchase graph
+    "densest_w" ->
+      s"""WITH cp AS ($CP),
+         | cpw AS (SELECT src, dst, CAST(weight AS BIGINT) AS w
+         |   FROM cp WHERE weight >= 2),
+         | ew AS (SELECT src, dst, w FROM cpw
+         |   UNION ALL SELECT dst, src, w FROM cpw),
+         | ${densestWRounds(16)}
+         |SELECT CAST(p.round AS BIGINT) AS round, p.n AS n_vertices,
+         |  p.w2 AS w2_weight,
+         |  CAST(CASE WHEN (SELECT count(*) FROM wprof q
+         |    WHERE q.w2 * p.n > p.w2 * q.n) = 0 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS is_best
+         |FROM wprof p ORDER BY round""".stripMargin,
+
+    // clustering-by-degree curve: floored mean of the exact per-vertex
+    // lcc micro-units per log2 degree bucket
+    "lcc_by_degree" ->
+      s"""WITH cp AS ($CP), e AS (SELECT src AS a, dst AS b FROM cp),
+         | d AS (SELECT id, CAST(count(*) AS BIGINT) AS deg
+         |   FROM (SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+         | tri AS (
+         |  SELECT e1.a, e1.b, e2.b AS c
+         |  FROM e e1 JOIN e e2 ON e1.b = e2.a JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         | t AS (SELECT id, CAST(count(*) AS BIGINT) AS tri_cnt
+         |   FROM (SELECT unnest([a, b, c]) AS id FROM tri) GROUP BY 1),
+         | l AS (
+         |  SELECT d.id, d.deg,
+         |    CASE WHEN d.deg >= 2
+         |      THEN (2000000 * coalesce(t.tri_cnt, 0)) // (d.deg * (d.deg - 1))
+         |      ELSE 0 END AS lcc_micro
+         |  FROM d LEFT JOIN t ON d.id = t.id)
+         |SELECT CAST(length(bin(deg)) AS BIGINT) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_vertices,
+         |  CAST(sum(lcc_micro) // count(*) AS BIGINT) AS avg_lcc_micro
+         |FROM l GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     // log2-bucketed joint degree matrix over the symmetrized graph
     "joint_degree" ->

@@ -1752,6 +1752,47 @@ object Queries {
         TestGraphs.table(s, dir, "events"), 4)
         .orderBy("t1", "t2")),
 
+    // --- temporal 3-chain motif census: ordered same-user event triples
+    // with each consecutive gap in (0, 1h] — the time-bounded
+    // generalization of transitions2's adjacent-only trigram table --------
+    "chains3" -> ((s, dir) => {
+      val e = TestGraphs.table(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          expr("unix_micros(cast(ts as timestamp))").as("us"))
+        .localCheckpoint(true)
+      val h = 3600000000L
+      e.toDF("user_id", "t1", "us1")
+        .join(e.toDF("user_id", "t2", "us2"), Seq("user_id"))
+        .where(col("us2") > col("us1") && col("us2") <= col("us1") + h)
+        .join(e.toDF("user_id", "t3", "us3"), Seq("user_id"))
+        .where(col("us3") > col("us2") && col("us3") <= col("us2") + h)
+        .groupBy("t1", "t2", "t3").agg(count(lit(1)).as("n"))
+        .orderBy("t1", "t2", "t3")
+    }),
+
+    // --- WEIGHTED densest-subgraph peel: density = Σweight/|V| on the
+    // weight≥2 co-purchase graph (both full-graph peels — weighted and
+    // not — drain in one round on the near-regular full graph; measured) --
+    "densest_w" -> ((s, dir) => {
+      val cp = TestGraphs.copurchase(s, dir).where(col("weight") >= 2)
+      graft.algos.Densest.peelProfileWeighted(s,
+        cp.select("src", "dst", "weight")
+          .unionByName(cp.select(col("dst").as("src"),
+            col("src").as("dst"), col("weight"))),
+        cfg(s).numPartitions).orderBy("round")
+    }),
+
+    // --- clustering-by-degree curve c(k): mean lcc_micro per log2 degree
+    // bucket — the hierarchical-structure fingerprint (falling c(k) =
+    // hub-and-spoke neighborhoods); per-vertex micros are already exact,
+    // the bucket mean is their floored integer average --------------------
+    "lcc_by_degree" -> ((s, dir) =>
+      TriangleCount.localClustering(TestGraphs.copurchase(s, dir))
+        .groupBy(length(bin(col("deg"))).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_vertices"),
+          expr("sum(lcc_micro) div count(1)").as("avg_lcc_micro"))
+        .orderBy("bucket")),
+
     // --- CUBE rollup counts (event_type × epoch-day, all 4 grouping
     // sets), null groups coalesced to engine-agnostic sentinels ----------
     "cube_counts" -> ((s, dir) => {

@@ -28,6 +28,57 @@ import graft.engine.Lineage
   */
 object Densest {
 
+  /** WEIGHTED peel profile — the same ε=1 greedy peel on weighted degree
+    * (density = total edge weight / vertices; Σw plays m): remove every
+    * vertex with wdeg·n ≤ 2·w2 where w2 = Σ over symmetric edges of the
+    * integral weight. The ≥half-shrink argument carries over verbatim
+    * (vertices above twice the average weighted degree hold less than
+    * half the weight mass), so rounds stay ≤ ⌈log₂ n⌉. Columns:
+    * (round, n_vertices, w2_weight, is_best).
+    *
+    * @param edgesW symmetrized weighted edges (src, dst, weight), integral
+    */
+  def peelProfileWeighted(spark: SparkSession, edgesW: DataFrame,
+                          numPartitions: Int = 32,
+                          maxRounds: Int = 64): DataFrame =
+    Lineage.withLoopConf(spark, numPartitions) {
+      var e = edgesW.select(col("src"), col("dst"),
+          col("weight").cast("long").as("w"))
+        .repartition(numPartitions, col("src"))
+        .transform(Lineage.cut(_, eager = true))
+      val prof = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      var n = -1L
+      var round = 0
+      while (n != 0L) {
+        if (round >= maxRounds)
+          throw new IllegalStateException(
+            s"weighted densest peel did not drain in $maxRounds rounds")
+        val deg = e.groupBy(col("src").as("id"))
+          .agg(sum(col("w")).as("wdeg"))
+          .transform(Lineage.cut(_))
+        val row = deg.agg(count(lit(1)), coalesce(sum(col("wdeg")), lit(0L)))
+          .head()
+        n = row.getLong(0)
+        val w2 = row.getLong(1)
+        if (n > 0) {
+          round += 1
+          prof += ((round.toLong, n, w2))
+          val keep = deg.where(col("wdeg") * lit(n) > lit(2L * w2))
+            .select("id")
+          e = e
+            .join(keep.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+            .join(keep.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+            .transform(Lineage.cut(_))
+        }
+      }
+      val rows = prof.toSeq
+      import spark.implicits._
+      rows.map { case (r, nv, w2) =>
+        val best = rows.forall { case (_, nj, w2j) => w2 * nj >= w2j * nv }
+        (r, nv, w2, if (best) 1L else 0L)
+      }.toDF("round", "n_vertices", "w2_weight", "is_best")
+    }
+
   /** Peel profile: one row per executed round, measured BEFORE that
     * round's removal. Columns (all BIGINT): `round` (1-based),
     * `n_vertices` (vertices with ≥1 edge in the current subgraph),
