@@ -3375,6 +3375,53 @@ object OracleSql {
          |  CAST(sum(lcc_micro) // count(*) AS BIGINT) AS avg_lcc_micro
          |FROM l GROUP BY 1 ORDER BY bucket""".stripMargin,
 
+    // per-part butterfly participation: C(cn,2) credited to both members
+    // of every co-neighbor pair
+    "bfly_pervertex" ->
+      """WITH e AS MATERIALIZED (
+        |   SELECT o.o_custkey AS src, l.l_partkey + 1000000000 AS dst
+        |   FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |   GROUP BY 1, 2),
+        | d AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg
+        |   FROM e GROUP BY 1),
+        | c AS MATERIALIZED (SELECT e.src, e.dst FROM e
+        |   JOIN d ON d.src = e.src WHERE d.deg <= 10000),
+        | pairs AS (SELECT a.dst AS v, b.dst AS w,
+        |    CAST(count(*) AS BIGINT) AS cn
+        |   FROM c a JOIN c b ON a.src = b.src AND a.dst < b.dst
+        |   GROUP BY 1, 2 HAVING count(*) >= 2),
+        | cr AS (SELECT unnest([v, w]) AS id, (cn*(cn-1))//2 AS b
+        |   FROM pairs)
+        |SELECT id, CAST(sum(b) AS BIGINT) AS bflys
+        |FROM cr GROUP BY 1 ORDER BY id""".stripMargin,
+
+    // per-type burstiness (Fano factor) as an exact rational
+    "burstiness" ->
+      """WITH dc AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(sum(c) AS BIGINT) AS total,
+        |  CAST(count(*) * sum(c*c) - sum(c) * sum(c) AS BIGINT)
+        |    AS fano_num,
+        |  CAST(count(*) * sum(c) AS BIGINT) AS fano_den
+        |FROM dc GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // Pearson moments of (n_chars, token_count) as exact integers
+    "doc_corr" ->
+      s"""WITH $TOKS,
+         | m AS (
+         |  SELECT CAST(d.n_chars AS BIGINT) AS x,
+         |    CAST(len(t.ts) AS BIGINT) AS y
+         |  FROM documents d JOIN toks t ON t.doc_id = d.doc_id)
+         |SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(count(*) * sum(x*y) - sum(x) * sum(y) AS BIGINT)
+         |    AS corr_num,
+         |  CAST(count(*) * sum(x*x) - sum(x) * sum(x) AS BIGINT) AS den_x,
+         |  CAST(count(*) * sum(y*y) - sum(y) * sum(y) AS BIGINT) AS den_y
+         |FROM m""".stripMargin,
+
     // log2-bucketed joint degree matrix over the symmetrized graph
     "joint_degree" ->
       s"""WITH $UND

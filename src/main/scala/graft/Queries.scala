@@ -1793,6 +1793,46 @@ object Queries {
           expr("sum(lcc_micro) div count(1)").as("avg_lcc_micro"))
         .orderBy("bucket")),
 
+    // --- per-part butterfly participation on the customer→part graph:
+    // the bipartite analog of tc_pervertex (local cohesion per item) ------
+    "bfly_pervertex" -> ((s, dir) =>
+      TriangleCount.butterfliesPerVertex(
+        TestGraphs.custPart(s, dir).select("src", "dst"))
+        .orderBy("id")),
+
+    // --- per-type burstiness: the variance-to-mean (Fano) factor of
+    // daily counts as an exact cross-multiplied rational
+    // (num = n·Σc²−(Σc)², den = n·Σc) -------------------------------------
+    "burstiness" -> ((s, dir) =>
+      TestGraphs.table(s, dir, "events")
+        .select(col("event_type"),
+          expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+            .as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("c")).as("total"),
+          (count(lit(1)) * sum(col("c") * col("c"))
+            - sum(col("c")) * sum(col("c"))).as("fano_num"),
+          (count(lit(1)) * sum(col("c"))).as("fano_den"))
+        .orderBy("event_type")),
+
+    // --- Pearson moments of (n_chars, token_count) per document, as
+    // exact integers: corr² = num² / (den_x·den_y) is derivable without
+    // any float crossing the gate ----------------------------------------
+    "doc_corr" -> ((s, dir) => {
+      val m = docs(s, dir)
+        .select(col("n_chars").cast("long").as("x"),
+          size(TextOps.tokens(col("text"))).cast("long").as("y"))
+      m.agg(count(lit(1)).as("n"),
+        (count(lit(1)) * sum(col("x") * col("y"))
+          - sum(col("x")) * sum(col("y"))).as("corr_num"),
+        (count(lit(1)) * sum(col("x") * col("x"))
+          - sum(col("x")) * sum(col("x"))).as("den_x"),
+        (count(lit(1)) * sum(col("y") * col("y"))
+          - sum(col("y")) * sum(col("y"))).as("den_y"))
+    }),
+
     // --- CUBE rollup counts (event_type × epoch-day, all 4 grouping
     // sets), null groups coalesced to engine-agnostic sentinels ----------
     "cube_counts" -> ((s, dir) => {

@@ -134,6 +134,33 @@ object TriangleCount {
         .as("butterflies"))
   }
 
+  /** Per-vertex butterfly participation on the non-center side: each
+    * co-neighbor pair (v, w) with codegree cn contributes C(cn, 2)
+    * butterflies to BOTH v and w — the bipartite analog of per-vertex
+    * triangle counts, the local-cohesion signal for bipartite graphs.
+    * Output (id, bflys) for vertices in ≥ 1 butterfly; same wedge-center
+    * cap as [[butterflies]].
+    */
+  def butterfliesPerVertex(edges: DataFrame,
+                           maxDeg: Long = 10000L): DataFrame = {
+    val e = edges.select("src", "dst").distinct()
+      .transform(graft.engine.Lineage.cut(_, eager = true))
+    val deg = e.groupBy(col("src").as("id"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("deg"))
+    val capped = e.join(deg.where(col("deg") <= maxDeg)
+      .select(col("id").as("src")), Seq("src"), "left_semi")
+    val w1 = capped.select(col("src").as("ctr"), col("dst").as("v"))
+    val w2 = capped.select(col("src").as("ctr"), col("dst").as("w"))
+    val pairs = w1.join(w2, "ctr").where(col("v") < col("w"))
+      .groupBy("v", "w")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("cn"))
+      .where(col("cn") >= 2)
+    pairs
+      .select(explode(array(col("v"), col("w"))).as("id"),
+        expr("(cn * (cn - 1)) div 2").as("b"))
+      .groupBy("id").agg(sum(col("b")).as("bflys"))
+  }
+
   /** Global 4-clique (K4) count. Under the acyclic (degree, id)
     * orientation every K4 induces a transitive tournament with a unique
     * vertex order a→b→c→d, so counting (oriented triangle (a,b,c)) ×
