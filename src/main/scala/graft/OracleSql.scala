@@ -3422,6 +3422,43 @@ object OracleSql {
          |  CAST(count(*) * sum(y*y) - sum(y) * sum(y) AS BIGINT) AS den_y
          |FROM m""".stripMargin,
 
+    // supplier co-supply graph: distinct shared parts, src<dst
+    "g_cosupply" ->
+      """WITH sp AS (
+        |  SELECT DISTINCT l_suppkey AS supp, l_partkey AS part
+        |  FROM lineitem)
+        |SELECT a.supp AS src, b.supp AS dst,
+        |  CAST(count(*) AS BIGINT) AS weight
+        |FROM sp a JOIN sp b ON a.part = b.part AND a.supp < b.supp
+        |GROUP BY 1, 2 ORDER BY src, dst""".stripMargin,
+
+    // revenue by supplier nation, per-row-rounded exact cents
+    "rev_supp_nation" ->
+      """SELECT n.n_name,
+        |  CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount)
+        |    * 100, 0) AS BIGINT)) AS BIGINT) AS rev_cents,
+        |  CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS n_suppliers
+        |FROM lineitem l
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |GROUP BY 1 ORDER BY n_name""".stripMargin,
+
+    // deterministic top-2-per-vertex md5 sparsifier over the symmetrized
+    // graph (md5ModSql's full 60-bit value as the order key)
+    "edge_sample2" ->
+      s"""WITH $UND,
+         | h AS (
+         |  SELECT src, dst,
+         |    ('0x' || substr(md5(CAST(src AS VARCHAR) || ':' ||
+         |      CAST(dst AS VARCHAR)), 1, 15))::BIGINT AS h
+         |  FROM e),
+         | r AS (
+         |  SELECT src, dst,
+         |    row_number() OVER (PARTITION BY src ORDER BY h, dst) AS rk
+         |  FROM h)
+         |SELECT src, dst, CAST(rk AS BIGINT) AS rk
+         |FROM r WHERE rk <= 2 ORDER BY src, rk""".stripMargin,
+
     // log2-bucketed joint degree matrix over the symmetrized graph
     "joint_degree" ->
       s"""WITH $UND

@@ -1833,6 +1833,50 @@ object Queries {
           - sum(col("y")) * sum(col("y"))).as("den_y"))
     }),
 
+    // --- supplier co-supply graph derivation (closes source coverage:
+    // supplier was the one unread table): suppliers linked by DISTINCT
+    // shared parts, src<dst, weight = shared-part count ------------------
+    "g_cosupply" -> ((s, dir) => {
+      val sp = TestGraphs.table(s, dir, "lineitem")
+        .select(col("l_suppkey").as("supp"), col("l_partkey").as("part"))
+        .distinct()
+      sp.toDF("s1", "part")
+        .join(sp.toDF("s2", "part"), Seq("part"))
+        .where(col("s1") < col("s2"))
+        .groupBy(col("s1").as("src"), col("s2").as("dst"))
+        .agg(count(lit(1)).as("weight"))
+        .orderBy("src", "dst")
+    }),
+
+    // --- revenue by supplier nation (the supplier-side dimension chain,
+    // mirroring rev_region's customer-side one) ---------------------------
+    "rev_supp_nation" -> ((s, dir) =>
+      TestGraphs.table(s, dir, "lineitem")
+        .join(broadcast(TestGraphs.table(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(TestGraphs.table(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1.0)
+            - col("l_discount")) * 100, 0).cast("long")).as("rev_cents"),
+          countDistinct(col("l_suppkey")).as("n_suppliers"))
+        .orderBy("n_name")),
+
+    // --- deterministic degree-bounded sparsifier: keep each vertex's
+    // top-2 incident edges under the md5 total order — the "cap every
+    // adjacency list" primitive behind bounded-degree approximations ------
+    "edge_sample2" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = und(s, dir)
+      val w = Window.partitionBy("src").orderBy(col("h"), col("dst"))
+      e.withColumn("h",
+          GraphOps.md5Prio(concat_ws(":", col("src"), col("dst"))))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 2)
+        .select(col("src"), col("dst"), col("rk").cast("long").as("rk"))
+        .orderBy("src", "rk")
+    }),
+
     // --- CUBE rollup counts (event_type × epoch-day, all 4 grouping
     // sets), null groups coalesced to engine-agnostic sentinels ----------
     "cube_counts" -> ((s, dir) => {
