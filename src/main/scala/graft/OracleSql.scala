@@ -3459,6 +3459,67 @@ object OracleSql {
          |SELECT src, dst, CAST(rk AS BIGINT) AS rk
          |FROM r WHERE rk <= 2 ORDER BY src, rk""".stripMargin,
 
+    // audience overlap: pairwise user-set Jaccard between event types
+    "audience_overlap" ->
+      """WITH a AS (
+        |  SELECT DISTINCT event_type, user_id FROM events),
+        | sz AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nu
+        |   FROM a GROUP BY 1),
+        | p AS (
+        |  SELECT x.event_type AS t1, y.event_type AS t2,
+        |    CAST(count(*) AS BIGINT) AS inter
+        |  FROM a x JOIN a y ON x.user_id = y.user_id
+        |    AND x.event_type < y.event_type
+        |  GROUP BY 1, 2)
+        |SELECT p.t1, p.t2, p.inter,
+        |  CAST((p.inter * 1000000) // (s1.nu + s2.nu - p.inter) AS BIGINT)
+        |    AS jac_micro
+        |FROM p JOIN sz s1 ON s1.event_type = p.t1
+        |JOIN sz s2 ON s2.event_type = p.t2
+        |ORDER BY t1, t2""".stripMargin,
+
+    // Benford first-digit profile of positive cents
+    "benford" ->
+      """WITH c AS (
+        |  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT)
+        |    AS cents
+        |  FROM events)
+        |SELECT event_type, substr(CAST(cents AS VARCHAR), 1, 1) AS digit,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM c WHERE cents > 0
+        |GROUP BY 1, 2 ORDER BY event_type, digit""".stripMargin,
+
+    // RFM tercile segmentation with exact discrete-rank thresholds
+    "rfm_segments" -> {
+      def thr(c: String, pct: Int): String =
+        s"(SELECT min(v) FROM (SELECT $c AS v, " +
+          s"row_number() OVER (ORDER BY $c) AS rn FROM rfm) t, n1 " +
+          s"WHERE t.rn >= (n1.n * $pct + 99) // 100)"
+      s"""WITH ev AS (
+         |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+         |  FROM events),
+         | mx AS (SELECT max(day) AS md FROM ev),
+         | rfm AS MATERIALIZED (
+         |  SELECT user_id, (SELECT md FROM mx) - max(day) AS r,
+         |    CAST(count(*) AS BIGINT) AS f,
+         |    CAST(sum(cents) AS BIGINT) AS m
+         |  FROM ev GROUP BY 1),
+         | n1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rfm),
+         | th AS (SELECT ${thr("r", 33)} AS r33, ${thr("r", 66)} AS r66,
+         |   ${thr("f", 33)} AS f33, ${thr("f", 66)} AS f66,
+         |   ${thr("m", 33)} AS m33, ${thr("m", 66)} AS m66)
+         |SELECT
+         |  CAST(CASE WHEN r <= r33 THEN 1 WHEN r <= r66 THEN 2
+         |    ELSE 3 END AS BIGINT) AS rb,
+         |  CAST(CASE WHEN f <= f33 THEN 1 WHEN f <= f66 THEN 2
+         |    ELSE 3 END AS BIGINT) AS fb,
+         |  CAST(CASE WHEN m <= m33 THEN 1 WHEN m <= m66 THEN 2
+         |    ELSE 3 END AS BIGINT) AS mb,
+         |  CAST(count(*) AS BIGINT) AS n_users
+         |FROM rfm, th GROUP BY 1, 2, 3 ORDER BY rb, fb, mb""".stripMargin
+    },
+
     // log2-bucketed joint degree matrix over the symmetrized graph
     "joint_degree" ->
       s"""WITH $UND

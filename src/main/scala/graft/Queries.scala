@@ -1877,6 +1877,68 @@ object Queries {
         .orderBy("src", "rk")
     }),
 
+    // --- audience overlap between event types: pairwise user-set Jaccard
+    // in exact micro-units (the "do buyers also click?" matrix) -----------
+    "audience_overlap" -> ((s, dir) => {
+      val a = TestGraphs.table(s, dir, "events")
+        .select(col("event_type"), col("user_id")).distinct()
+        .localCheckpoint(true)
+      val sz = a.groupBy(col("event_type")).agg(count(lit(1)).as("nu"))
+      a.toDF("t1", "user_id")
+        .join(a.toDF("t2", "user_id"), Seq("user_id"))
+        .where(col("t1") < col("t2"))
+        .groupBy("t1", "t2").agg(count(lit(1)).as("inter"))
+        .join(broadcast(sz.toDF("t1", "n1")), "t1")
+        .join(broadcast(sz.toDF("t2", "n2")), "t2")
+        .select(col("t1"), col("t2"), col("inter"),
+          expr("(inter * 1000000) div (n1 + n2 - inter)")
+            .as("jac_micro"))
+        .orderBy("t1", "t2")
+    }),
+
+    // --- Benford first-digit profile of positive transaction cents per
+    // type — the classic fabricated-data smell test, exact counts ---------
+    "benford" -> ((s, dir) =>
+      TestGraphs.table(s, dir, "events")
+        .select(col("event_type"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+        .where(col("cents") > 0)
+        .groupBy(col("event_type"),
+          substring(col("cents").cast("string"), 1, 1).as("digit"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type", "digit")),
+
+    // --- RFM segmentation: per-user recency (days since last activity),
+    // frequency (events), monetary (cents) bucketed into terciles by the
+    // exact discrete-rank thresholds, counted per (r, f, m) segment -------
+    "rfm_segments" -> ((s, dir) => {
+      val ev = TestGraphs.table(s, dir, "events")
+        .select(col("user_id"),
+          expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+            .as("day"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+        .localCheckpoint(true)
+      val maxDay = ev.agg(max(col("day"))).head().getLong(0)
+      val rfm = ev.groupBy("user_id")
+        .agg((lit(maxDay) - max(col("day"))).as("r"),
+          count(lit(1)).as("f"), sum(col("cents")).as("m"))
+        .localCheckpoint(true)
+      // tercile thresholds via the exact discrete-rank recipe (33/66)
+      def th(c: String) = graft.functions.Quantiles.discreteBy(
+          rfm.select(lit("all").as("g"), col(c)), "g", c, Seq(33, 66))
+        .orderBy("pct").collect().map(_.getLong(2))
+      val (r33, r66) = { val t = th("r"); (t(0), t(1)) }
+      val (f33, f66) = { val t = th("f"); (t(0), t(1)) }
+      val (m33, m66) = { val t = th("m"); (t(0), t(1)) }
+      def bucket(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =
+        when(c <= lo, 1L).when(c <= hi, 2L).otherwise(3L)
+      rfm.select(bucket(col("r"), r33, r66).as("rb"),
+          bucket(col("f"), f33, f66).as("fb"),
+          bucket(col("m"), m33, m66).as("mb"))
+        .groupBy("rb", "fb", "mb").agg(count(lit(1)).as("n_users"))
+        .orderBy("rb", "fb", "mb")
+    }),
+
     // --- CUBE rollup counts (event_type × epoch-day, all 4 grouping
     // sets), null groups coalesced to engine-agnostic sentinels ----------
     "cube_counts" -> ((s, dir) => {
