@@ -3520,6 +3520,74 @@ object OracleSql {
          |FROM rfm, th GROUP BY 1, 2, 3 ORDER BY rb, fb, mb""".stripMargin
     },
 
+    // link-prediction AUC counts: RA scores of true edges vs the
+    // deterministic negative sample (neg_sample2's derivation verbatim,
+    // canonicalized + deduped), concordance via score histograms
+    "linkpred_auc" ->
+      s"""WITH cp0 AS MATERIALIZED ($CP),
+         | cp AS MATERIALIZED (SELECT src, dst FROM cp0 WHERE weight >= 2),
+         | e AS MATERIALIZED (
+         |  SELECT src, dst FROM cp UNION SELECT dst, src FROM cp),
+         | v AS (SELECT DISTINCT src AS id FROM e),
+         | n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+         | r AS (
+         |  SELECT id, CAST(row_number()
+         |    OVER (ORDER BY CAST(id AS VARCHAR)) AS BIGINT) - 1 AS rk
+         |  FROM v),
+         | cand AS (
+         |  SELECT v.id, t.t,
+         |    ('0x' || substr(md5(CAST(v.id AS VARCHAR) || ':' ||
+         |      CAST(t.t AS VARCHAR)), 1, 15))::BIGINT % (SELECT n FROM n)
+         |      AS ci
+         |  FROM v, unnest(generate_series(0, 7)) AS t(t)),
+         | cu AS (
+         |  SELECT c.id, c.t, r.id AS neg
+         |  FROM cand c JOIN r ON c.ci = r.rk),
+         | ok AS (
+         |  SELECT cu.id, cu.t, cu.neg FROM cu
+         |  WHERE cu.neg <> cu.id AND NOT EXISTS (
+         |    SELECT 1 FROM e WHERE e.src = cu.id AND e.dst = cu.neg)),
+         | kk AS (
+         |  SELECT id, neg, t,
+         |    row_number() OVER (PARTITION BY id ORDER BY t) AS rn
+         |  FROM ok),
+         | negp AS MATERIALIZED (
+         |  SELECT DISTINCT least(id, neg) AS u, greatest(id, neg) AS v
+         |  FROM kk WHERE rn <= 2),
+         | posp AS MATERIALIZED (SELECT src AS u, dst AS v FROM cp),
+         | dg AS MATERIALIZED (
+         |  SELECT src AS w, CAST(count(*) AS BIGINT) AS degw
+         |  FROM e GROUP BY 1),
+         | pra AS (
+         |  SELECT p.u, p.v, CAST(coalesce(s.ra, 0) AS BIGINT) AS ra
+         |  FROM posp p LEFT JOIN (
+         |    SELECT a.src AS u, b.src AS v, sum(1000000 // d.degw) AS ra
+         |    FROM posp q JOIN e a ON a.src = q.u JOIN e b
+         |      ON b.src = q.v AND b.dst = a.dst
+         |    JOIN dg d ON d.w = a.dst GROUP BY 1, 2) s
+         |    ON s.u = p.u AND s.v = p.v),
+         | nra AS (
+         |  SELECT p.u, p.v, CAST(coalesce(s.ra, 0) AS BIGINT) AS ra
+         |  FROM negp p LEFT JOIN (
+         |    SELECT a.src AS u, b.src AS v, sum(1000000 // d.degw) AS ra
+         |    FROM negp q JOIN e a ON a.src = q.u JOIN e b
+         |      ON b.src = q.v AND b.dst = a.dst
+         |    JOIN dg d ON d.w = a.dst GROUP BY 1, 2) s
+         |    ON s.u = p.u AND s.v = p.v),
+         | ph AS (SELECT ra, CAST(count(*) AS BIGINT) AS cp2
+         |   FROM pra GROUP BY 1),
+         | nh AS (SELECT ra, CAST(count(*) AS BIGINT) AS cn2
+         |   FROM nra GROUP BY 1)
+         |SELECT
+         |  (SELECT CAST(sum(cp2) AS BIGINT) FROM ph) AS n_pos,
+         |  (SELECT CAST(sum(cn2) AS BIGINT) FROM nh) AS n_neg,
+         |  CAST(coalesce((SELECT sum(p.cp2 * q.cn2)
+         |    FROM ph p JOIN nh q ON p.ra > q.ra), 0) AS BIGINT)
+         |    AS concordant,
+         |  CAST(coalesce((SELECT sum(p.cp2 * q.cn2)
+         |    FROM ph p JOIN nh q ON p.ra = q.ra), 0) AS BIGINT)
+         |    AS tied""".stripMargin,
+
     // log2-bucketed joint degree matrix over the symmetrized graph
     "joint_degree" ->
       s"""WITH $UND

@@ -1939,6 +1939,49 @@ object Queries {
         .orderBy("rb", "fb", "mb")
     }),
 
+    // --- link-prediction ranking quality: concordant/tied pair counts of
+    // RA scores between TRUE edges and the deterministic negative sample —
+    // AUC = (concordant + tied/2)/(n_pos·n_neg) derivable downstream with
+    // no float at the gate ------------------------------------------------
+    "linkpred_auc" -> ((s, dir) => {
+      // weight≥2 graph: the full graph's 1.15M-pair RA join costs ~40 s at
+      // sf0.1 (measured) for the same ranking-quality story
+      val cp = TestGraphs.copurchase(s, dir).where(col("weight") >= 2)
+        .select("src", "dst")
+      val und2 = GraphOps.symmetrize(cp).where(col("src") =!= col("dst"))
+        .localCheckpoint(true)
+      val deg = und2.groupBy(col("src").as("w"))
+        .agg(count(lit(1)).as("degw"))
+      val pos = cp.toDF("u", "v")
+      val neg = LinkPrediction.negativeSample(und2, 8, 2)
+        .select(least(col("id"), col("neg_id")).as("u"),
+          greatest(col("id"), col("neg_id")).as("v"))
+        .distinct()
+      // RA score of an explicit pair set: common neighbors via two
+      // adjacency joins restricted to the pairs, 0 when none shared
+      def ra(p: DataFrame) = {
+        val cnw = p.join(und2.toDF("u", "w"), "u")
+          .join(und2.toDF("v", "w"), Seq("v", "w"))
+          .join(deg, "w")
+          .groupBy("u", "v")
+          .agg(sum(expr("1000000L div degw")).as("ra"))
+        p.join(cnw, Seq("u", "v"), "left")
+          .select(coalesce(col("ra"), lit(0L)).as("ra"))
+      }
+      val rp = ra(pos).groupBy("ra").agg(count(lit(1)).as("cp"))
+        .toDF("rp", "cp").localCheckpoint(true)
+      val rn = ra(neg).groupBy("ra").agg(count(lit(1)).as("cn2"))
+        .toDF("rn", "cn2").localCheckpoint(true)
+      val conc = rp.join(rn, col("rp") > col("rn"))
+        .agg(coalesce(sum(col("cp") * col("cn2")), lit(0L))
+          .as("concordant"))
+      val tied = rp.join(rn, col("rp") === col("rn"))
+        .agg(coalesce(sum(col("cp") * col("cn2")), lit(0L)).as("tied"))
+      rp.agg(sum(col("cp")).as("n_pos"))
+        .crossJoin(rn.agg(sum(col("cn2")).as("n_neg")))
+        .crossJoin(conc).crossJoin(tied)
+    }),
+
     // --- CUBE rollup counts (event_type × epoch-day, all 4 grouping
     // sets), null groups coalesced to engine-agnostic sentinels ----------
     "cube_counts" -> ((s, dir) => {
