@@ -3588,6 +3588,32 @@ object OracleSql {
          |    FROM ph p JOIN nh q ON p.ra = q.ra), 0) AS BIGINT)
          |    AS tied""".stripMargin,
 
+    // recency-decayed activity score: pure bit-shift half-life decay
+    "decay_degree" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        | mx AS (SELECT max(day) AS md FROM ev)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(1 << (10 - least(
+        |    CAST(((SELECT md FROM mx) - day) // 7 AS INTEGER), 10)))
+        |    AS BIGINT) AS score
+        |FROM ev GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    // 2-approx vertex cover: the maximal matching's endpoint set
+    "vertex_cover" ->
+      s"""WITH cp AS MATERIALIZED ($CP),
+         | cpf AS (SELECT src, dst FROM cp WHERE weight >= 2),
+         | ${matchRounds(12)}
+         |SELECT DISTINCT id FROM (
+         |  SELECT src AS id FROM allw UNION ALL SELECT dst FROM allw)
+         |ORDER BY id""".stripMargin,
+
+    // dropDuplicatesWithinWatermark replay: duplicates collapse exactly,
+    // so the gate is the plain batch per-type count
+    "stream_dedup_wm" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
     // log2-bucketed joint degree matrix over the symmetrized graph
     "joint_degree" ->
       s"""WITH $UND

@@ -1982,6 +1982,41 @@ object Queries {
         .crossJoin(conc).crossJoin(tied)
     }),
 
+    // --- recency-decayed activity score per user: half-life decay as
+    // PURE bit shifts (2^(10−age_weeks), capped) — no float pow ----------
+    "decay_degree" -> ((s, dir) => {
+      val ev = TestGraphs.table(s, dir, "events")
+        .select(col("user_id"),
+          expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+            .as("day"))
+        .localCheckpoint(true)
+      val maxDay = ev.agg(max(col("day"))).head().getLong(0)
+      ev.select(col("user_id"),
+          expr(s"shiftleft(1L, 10 - least(" +
+            s"cast((${maxDay}L - day) div 7 as int), 10))").as("contrib"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), sum(col("contrib")).as("score"))
+        .orderBy("user_id")
+    }),
+
+    // --- 2-approximate minimum vertex cover = the endpoints of a maximal
+    // matching (König-style classic composition; maximality ⇒ coverage) --
+    "vertex_cover" -> ((s, dir) => {
+      val (m, _) = graft.algos.Matching.run(s,
+        TestGraphs.copurchase(s, dir).where(col("weight") >= 2)
+          .select("src", "dst"),
+        cfg(s).numPartitions)
+      m.select(explode(array(col("src"), col("dst"))).as("id"))
+        .distinct().orderBy("id")
+    }),
+
+    // --- dropDuplicatesWithinWatermark under a duplicated deterministic
+    // replay: every event streamed TWICE, deduped counts ≡ batch counts --
+    "stream_dedup_wm" -> ((s, dir) =>
+      graft.streaming.EdgeStream.dedupWithinWatermarkViaStream(
+        TestGraphs.table(s, dir, "events"), 4)
+        .orderBy("event_type")),
+
     // --- CUBE rollup counts (event_type × epoch-day, all 4 grouping
     // sets), null groups coalesced to engine-agnostic sentinels ----------
     "cube_counts" -> ((s, dir) => {

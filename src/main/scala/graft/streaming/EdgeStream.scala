@@ -416,6 +416,61 @@ object EdgeStream {
     }
   }
 
+  /** `dropDuplicatesWithinWatermark` under a deterministic DUPLICATED
+    * replay — the bounded-state streaming dedup API (Spark 3.5+) the
+    * ledger's keyed-state dedup shapes don't exercise: every event is
+    * written into TWO batches (`event_id % splits` and the following
+    * batch), the stream dedups on event_id within a watermark beyond the
+    * replay span, and the drained append output aggregated per type must
+    * equal the plain batch counts — each duplicate dropped exactly once.
+    * In production the watermark delay bounds the dedup state (ids older
+    * than the horizon are forgotten); here it is sized to the span so the
+    * gate is exact.
+    */
+  def dedupWithinWatermarkViaStream(events: DataFrame, splits: Int = 4,
+                                    delay: String = "9000 hours"): DataFrame = {
+    import org.apache.spark.sql.types._
+    val spark = events.sparkSession
+    val tmp = java.nio.file.Files.createTempDirectory("graft-wmdedup").toString
+    try {
+      (0 until splits).foreach { k =>
+        events.where(pmod(col("event_id"), lit(splits)) === k ||
+            pmod(col("event_id") + 1, lit(splits)) === k)
+          .select(col("event_id"), col("ts"), col("event_type"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/b$k")
+        new java.io.File(s"$tmp/b$k").listFiles()
+          .filter(_.getName.endsWith(".parquet")).foreach {
+            f => f.setLastModified(1000000000000L + k * 1000L)
+          }
+      }
+      val schema = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("ts", TimestampType),
+        StructField("event_type", StringType)))
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/b*")
+        .withWatermark("ts", delay)
+        .dropDuplicatesWithinWatermark("event_id")
+      val name = s"graft_stream_wmdedup_${runCounter.incrementAndGet()}"
+      val q = stream.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val out = spark.table(name)
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      spark.catalog.dropTempView(name)
+      out
+    } finally {
+      import java.nio.file.{Files => F, Path}
+      val walk = F.walk(Path.of(tmp))
+      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => F.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
   /** Exact running out-degree per vertex in keyed state; emits the updated
     * degree for every vertex touched in a micro-batch (Update output mode).
     */
