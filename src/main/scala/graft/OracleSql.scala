@@ -3614,6 +3614,57 @@ object OracleSql {
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
 
+    // session-scoped ordered funnel over the 4-hour-gap sessions
+    "session_funnel" ->
+      """WITH m AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+        |             > CAST(14400 AS BIGINT) * 1000000 THEN 1 ELSE 0 END
+        |      AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        | ev AS (
+        |  SELECT user_id, event_type, us,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m),
+        | base AS (SELECT DISTINCT user_id, sid FROM ev),
+        | s1 AS (SELECT user_id, sid, min(us) AS t1 FROM ev
+        |   WHERE event_type = 'view' GROUP BY 1, 2),
+        | s2 AS (SELECT e.user_id, e.sid, min(e.us) AS t2
+        |   FROM ev e JOIN s1 ON s1.user_id = e.user_id AND s1.sid = e.sid
+        |   WHERE e.event_type = 'click' AND e.us > s1.t1 GROUP BY 1, 2),
+        | s3 AS (SELECT e.user_id, e.sid, min(e.us) AS t3
+        |   FROM ev e JOIN s2 ON s2.user_id = e.user_id AND s2.sid = e.sid
+        |   WHERE e.event_type = 'purchase' AND e.us > s2.t2 GROUP BY 1, 2)
+        |SELECT CAST(CASE WHEN t3 IS NOT NULL THEN 3
+        |    WHEN t2 IS NOT NULL THEN 2
+        |    WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage,
+        |  CAST(count(*) AS BIGINT) AS n_sessions
+        |FROM base b
+        |LEFT JOIN s1 ON s1.user_id = b.user_id AND s1.sid = b.sid
+        |LEFT JOIN s2 ON s2.user_id = b.user_id AND s2.sid = b.sid
+        |LEFT JOIN s3 ON s3.user_id = b.user_id AND s3.sid = b.sid
+        |GROUP BY 1 ORDER BY stage""".stripMargin,
+
+    // Gini of cents per type via the sorted prefix-sum identity
+    "value_gini" ->
+      """WITH c AS (
+        |  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT)
+        |    AS cents
+        |  FROM events),
+        | r AS (
+        |  SELECT event_type, cents,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY cents) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS nn
+        |  FROM c WHERE cents >= 0)
+        |SELECT event_type, CAST(max(nn) AS BIGINT) AS n,
+        |  CAST(sum((2 * rn - nn - 1) * cents) AS BIGINT) AS gini_num,
+        |  CAST(max(nn) * sum(cents) AS BIGINT) AS gini_den
+        |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin,
+
     // log2-bucketed joint degree matrix over the symmetrized graph
     "joint_degree" ->
       s"""WITH $UND

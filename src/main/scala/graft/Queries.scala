@@ -2017,6 +2017,54 @@ object Queries {
         TestGraphs.table(s, dir, "events"), 4)
         .orderBy("event_type")),
 
+    // --- SESSION-scoped ordered funnel (view → click → purchase inside
+    // one 4-hour-gap session): the per-visit conversion table beside
+    // funnel3's per-user lifetime one ------------------------------------
+    "session_funnel" -> ((s, dir) => {
+      val ev = graft.events.Sessionize.withSessionIds(
+          TestGraphs.table(s, dir, "events"), 14400L)
+        .localCheckpoint(true)
+      val base = ev.select("user_id", "sid").distinct()
+      val s1 = ev.where(col("event_type") === "view")
+        .groupBy("user_id", "sid").agg(min(col("us")).as("t1"))
+      val s2 = ev.where(col("event_type") === "click")
+        .join(s1, Seq("user_id", "sid")).where(col("us") > col("t1"))
+        .groupBy("user_id", "sid").agg(min(col("us")).as("t2"))
+      val s3 = ev.where(col("event_type") === "purchase")
+        .join(s2, Seq("user_id", "sid")).where(col("us") > col("t2"))
+        .groupBy("user_id", "sid").agg(min(col("us")).as("t3"))
+      base
+        .join(s1, Seq("user_id", "sid"), "left")
+        .join(s2, Seq("user_id", "sid"), "left")
+        .join(s3, Seq("user_id", "sid"), "left")
+        .select(when(col("t3").isNotNull, 3L)
+          .when(col("t2").isNotNull, 2L)
+          .when(col("t1").isNotNull, 1L).otherwise(0L).as("stage"))
+        .groupBy("stage").agg(count(lit(1)).as("n_sessions"))
+        .orderBy("stage")
+    }),
+
+    // --- Gini coefficient of transaction cents per type, exact rational
+    // via the sorted prefix-sum identity Σ|xi−xj| = 2Σ(2·rank−n−1)·x —
+    // one partitioned window, no pairwise join ----------------------------
+    "value_gini" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val c = TestGraphs.table(s, dir, "events")
+        .select(col("event_type"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+        .where(col("cents") >= 0)
+      val w = Window.partitionBy("event_type").orderBy("cents")
+      c.withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("nn",
+          count(lit(1)).over(Window.partitionBy("event_type")))
+        .groupBy("event_type")
+        .agg(max(col("nn")).as("n"),
+          sum((lit(2) * col("rn") - col("nn") - 1) * col("cents"))
+            .as("gini_num"),
+          (max(col("nn")) * sum(col("cents"))).as("gini_den"))
+        .orderBy("event_type")
+    }),
+
     // --- CUBE rollup counts (event_type × epoch-day, all 4 grouping
     // sets), null groups coalesced to engine-agnostic sentinels ----------
     "cube_counts" -> ((s, dir) => {

@@ -45,4 +45,24 @@ object Sessionize {
         sum(round(col("value") * 100, 0).cast("long")).as("cents"))
       .select("user_id", "session_start_us", "n_events", "cents")
   }
+
+  /** Per-event session assignment — the [[sessions]] gap marking with the
+    * event payload kept: the input shape for session-scoped analyses
+    * (session funnel, per-session paths). Output
+    * (user_id, sid, event_id, event_type, us).
+    */
+  def withSessionIds(events: DataFrame, gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("us", expr("unix_micros(cast(ts as timestamp))"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev_us").isNull ||
+          col("us") - col("prev_us") > gapSeconds * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("brk")).over(cum))
+      .select("user_id", "sid", "event_id", "event_type", "us")
+  }
 }
