@@ -3665,6 +3665,45 @@ object OracleSql {
         |  CAST(max(nn) * sum(cents) AS BIGINT) AS gini_den
         |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin,
 
+    // time-to-convert quantiles for fully-converted users (funnel3's
+    // chain + the discreteBy histogram-rank recipe)
+    "conversion_time" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        | s1 AS (SELECT user_id, min(us) AS t1 FROM e
+        |   WHERE event_type = 'view' GROUP BY 1),
+        | s2 AS (SELECT e.user_id, min(e.us) AS t2
+        |   FROM e JOIN s1 ON e.user_id = s1.user_id
+        |   WHERE e.event_type = 'click' AND e.us > s1.t1 GROUP BY 1),
+        | s3 AS (SELECT e.user_id, min(e.us) AS t3
+        |   FROM e JOIN s2 ON e.user_id = s2.user_id
+        |   WHERE e.event_type = 'purchase' AND e.us > s2.t2 GROUP BY 1),
+        | secs AS (
+        |  SELECT (s3.t3 - s1.t1) // 1000000 AS v
+        |  FROM s3 JOIN s1 ON s1.user_id = s3.user_id),
+        | hist AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt
+        |   FROM secs GROUP BY 1),
+        | cum AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM hist),
+        | n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM hist),
+        | p AS (SELECT CAST(t.pct AS BIGINT) AS pct,
+        |   (n.n * t.pct + 99) // 100 AS target
+        |   FROM n, unnest([50, 90]) AS t(pct))
+        |SELECT p.pct, CAST(min(c2.v) AS BIGINT) AS secs
+        |FROM p JOIN cum c2 ON c2.cum >= p.target
+        |GROUP BY 1 ORDER BY pct""".stripMargin,
+
+    // brand-affinity matrix over the weight>=2 co-purchase edges
+    "brand_pairs" ->
+      s"""WITH cp AS ($CP),
+         | cpf AS (SELECT src, dst FROM cp WHERE weight >= 2),
+         | bp AS (
+         |  SELECT least(pa.p_brand, pb.p_brand) AS brand1,
+         |    greatest(pa.p_brand, pb.p_brand) AS brand2
+         |  FROM cpf JOIN part pa ON pa.p_partkey = cpf.src
+         |  JOIN part pb ON pb.p_partkey = cpf.dst)
+         |SELECT brand1, brand2, CAST(count(*) AS BIGINT) AS n_edges
+         |FROM bp GROUP BY 1, 2 ORDER BY brand1, brand2""".stripMargin,
+
     // log2-bucketed joint degree matrix over the symmetrized graph
     "joint_degree" ->
       s"""WITH $UND

@@ -2065,6 +2065,35 @@ object Queries {
         .orderBy("event_type")
     }),
 
+    // --- time-to-convert quantiles: seconds from first view to the
+    // funnel-ordered purchase for fully-converted users, exact discrete
+    // ranks (funnel3's chain + the discreteBy recipe) ---------------------
+    "conversion_time" -> ((s, dir) => {
+      val f = graft.events.Analytics.funnel(
+          TestGraphs.table(s, dir, "events"), "view", "click", "purchase")
+        .where(col("stage") === 3)
+        .select(lit("all").as("g"),
+          expr("(t3 - t1) div 1000000").as("secs"))
+      graft.functions.Quantiles.discreteBy(f, "g", "secs", Seq(50, 90))
+        .select(col("pct"), col("value").as("secs"))
+        .orderBy("pct")
+    }),
+
+    // --- brand-affinity matrix: co-purchase (weight≥2) edges lifted to
+    // part-brand pairs — two broadcast dim joins + one pair count ---------
+    "brand_pairs" -> ((s, dir) => {
+      val bd = TestGraphs.table(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))
+      val e = TestGraphs.copurchase(s, dir).where(col("weight") >= 2)
+        .select("src", "dst")
+      e.join(broadcast(bd.toDF("src", "b1")), "src")
+        .join(broadcast(bd.toDF("dst", "b2")), "dst")
+        .select(least(col("b1"), col("b2")).as("brand1"),
+          greatest(col("b1"), col("b2")).as("brand2"))
+        .groupBy("brand1", "brand2").agg(count(lit(1)).as("n_edges"))
+        .orderBy("brand1", "brand2")
+    }),
+
     // --- CUBE rollup counts (event_type × epoch-day, all 4 grouping
     // sets), null groups coalesced to engine-agnostic sentinels ----------
     "cube_counts" -> ((s, dir) => {
