@@ -27,6 +27,13 @@ object Queries {
   private def und(s: SparkSession, dir: String): DataFrame =
     TestGraphs.copurchaseUndirected(s, dir)
 
+  /** und(), materialized once (Lineage.cut eager): the k-round unrolled
+    * kernels otherwise replay the co-purchase self-join per plan reference
+    * — pr5's initial plan carried 128 parquet scans (measured r6).
+    */
+  private def undM(s: SparkSession, dir: String): DataFrame =
+    und(s, dir).transform(graft.engine.Lineage.cut(_, eager = true))
+
   private def cfg(s: SparkSession): SuperstepConfig = SuperstepConfig(
     numPartitions = s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
 
@@ -96,13 +103,13 @@ object Queries {
     // "measured" time never runs the k iterations (TopKProbe, BASELINE.md
     // round 3 — the pr_top20 8× mystery).
     "pr5" -> ((s, dir) =>
-      PageRank.fixedIterations(und(s, dir), 5)
+      PageRank.fixedIterations(undM(s, dir), 5)
         .select(col("id"), round(col("rank"), 6).as("pr"))
         .where(col("pr").isNotNull)
         .orderBy("id")),
 
     "pr5_blocked" -> ((s, dir) =>
-      prBlocked(und(s, dir), 5,
+      prBlocked(undM(s, dir), 5,
         s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
         .select(col("id"), round(col("rank"), 6).as("pr"))
         .where(col("pr").isNotNull)
@@ -116,6 +123,7 @@ object Queries {
       val we = cp.select(col("src"), col("dst"), col("weight"))
         .unionByName(cp.select(col("dst").as("src"), col("src").as("dst"),
           col("weight")))
+        .transform(graft.engine.Lineage.cut(_, eager = true))
       PageRank.weightedFixedIterations(we, 5)
         .select(col("id"), round(col("rank"), 6).as("pr"))
         .where(col("pr").isNotNull)
@@ -123,7 +131,7 @@ object Queries {
     }),
 
     "pr_top20" -> ((s, dir) =>
-      PageRank.fixedIterations(und(s, dir), 5)
+      PageRank.fixedIterations(undM(s, dir), 5)
         .select(col("id"), round(col("rank"), 6).as("pr"))
         .orderBy(col("pr").desc, col("id"))
         .limit(20)),
@@ -133,7 +141,7 @@ object Queries {
     // gridSide=4 with batched supersteps so the driver pins the SCALE path
     // to DuckDB, not just the dst-broadcast layout.
     "pr5_grid" -> ((s, dir) =>
-      PageRank.run(s, und(s, dir),
+      PageRank.run(s, undM(s, dir),
         cfg(s).copy(maxIter = 5, tol = 0.0, gridSide = Some(4),
           batchSize = 5))
         .state.select(col("id"), round(col("rank"), 6).as("pr"))
@@ -145,7 +153,7 @@ object Queries {
     // the salted shuffled-hash join runs (batchSize=2 disables the
     // broadcast shortcut) — the skew path is pinned to DuckDB.
     "pr5_hubsplit" -> ((s, dir) =>
-      PageRank.run(s, und(s, dir),
+      PageRank.run(s, undM(s, dir),
         cfg(s).copy(maxIter = 5, tol = 0.0, hubTau = Some(16L),
           batchSize = 2))
         .state.select(col("id"), round(col("rank"), 6).as("pr"))
@@ -279,7 +287,7 @@ object Queries {
 
     // --- personalized PR: teleport mass only to S = {id ≡ 0 mod 100} ------
     "ppr5" -> ((s, dir) =>
-      PageRank.personalizedFixedIterations(und(s, dir),
+      PageRank.personalizedFixedIterations(undM(s, dir),
         id => pmod(id, lit(100L)) === 0, 5)
         .select(col("id"), round(col("rank"), 6).as("pr"))
         .where(col("pr").isNotNull)
@@ -287,7 +295,8 @@ object Queries {
 
     // --- PageRank on the bipartite repo→file analog (sources + sinks) ----
     "pr5_bipartite" -> ((s, dir) =>
-      PageRank.fixedIterations(TestGraphs.custPart(s, dir), 5)
+      PageRank.fixedIterations(TestGraphs.custPart(s, dir)
+          .transform(graft.engine.Lineage.cut(_, eager = true)), 5)
         .select(col("id"), round(col("rank"), 6).as("pr"))
         .where(col("pr").isNotNull)
         .orderBy("id")),
@@ -453,14 +462,14 @@ object Queries {
 
     // --- label propagation (A3): 5 synchronous rounds --------------------
     "lp5" -> ((s, dir) =>
-      LabelPropagation.fixedRounds(und(s, dir), 5)
+      LabelPropagation.fixedRounds(undM(s, dir), 5, allIn = true)
         .where(col("label").isNotNull).orderBy("id")),
 
     // --- semi-supervised seeded LP: ids ≡ 0 (mod 10) hold their own label
     // fixed; everyone else adopts the mode among LABELED neighbors — the
     // curated-taxonomy-spread production shape; unreached vertices -1 ----
     "lp_seeded" -> ((s, dir) =>
-      LabelPropagation.seededFixedRounds(und(s, dir), 5, 10L)
+      LabelPropagation.seededFixedRounds(undM(s, dir), 5, 10L)
         .orderBy("id")),
 
     // --- weighted LP: votes weighted by co-purchase multiplicity ----------
@@ -468,7 +477,8 @@ object Queries {
       val cp = TestGraphs.copurchase(s, dir)
       val ew = cp.select(col("src"), col("dst"), col("weight"))
         .union(cp.select(col("dst"), col("src"), col("weight")))
-      LabelPropagation.weightedFixedRounds(ew, 5)
+        .transform(graft.engine.Lineage.cut(_, eager = true))
+      LabelPropagation.weightedFixedRounds(ew, 5, allIn = true)
         .where(col("label").isNotNull).orderBy("id")
     }),
 
@@ -820,7 +830,7 @@ object Queries {
     // --- one-row exact moment profile of the undirected graph: counts,
     // max degree, wedges, and degree assortativity as an exact rational --
     "graph_profile" -> ((s, dir) =>
-      GraphOps.profile(und(s, dir)).orderBy("n_vertices")),
+      GraphOps.profile(undM(s, dir)).orderBy("n_vertices")),
 
     // --- bipartite butterfly (4-cycle) count on the customer→part graph
     // (the bipartite triangle analog); exact integers, hot-center cap ----
@@ -868,7 +878,8 @@ object Queries {
           TestGraphs.copurchase(s, dir).where(col("weight") >= 2)
             .select("src", "dst"))
         .where(col("src") =!= col("dst")).localCheckpoint(true)
-      Community.modularity(e, LabelPropagation.fixedRounds(e, 5))
+      Community.modularity(e,
+        LabelPropagation.fixedRounds(e, 5, allIn = true))
         .orderBy("n_comms")
     }),
 
@@ -920,7 +931,7 @@ object Queries {
     // dense vertex-rank space, known edges anti-joined out): the other
     // half of a link-prediction / embedding training set ---------------------
     "neg_sample2" -> ((s, dir) =>
-      LinkPrediction.negativeSample(und(s, dir), trials = 8, k = 2)
+      LinkPrediction.negativeSample(undM(s, dir), trials = 8, k = 2)
         .orderBy("id", "trial")),
 
     // --- directed dyad census: reciprocity + transitivity as exact
@@ -1206,7 +1217,7 @@ object Queries {
     // one deg-tag of the edges + ONE conditional-sum pass per the broadcast
     // threshold table --------------------------------------------------
     "richclub" -> ((s, dir) =>
-      GraphOps.richClub(und(s, dir), Seq(2, 4, 8, 16)).orderBy("k")),
+      GraphOps.richClub(undM(s, dir), Seq(2, 4, 8, 16)).orderBy("k")),
 
     // --- Lee et al. duplicated-window profile: 20-token windows occurring
     // ≥2× anywhere in the corpus, per-doc exact ppm; one shuffle on the
@@ -1319,7 +1330,7 @@ object Queries {
     // --- log2-bucketed joint degree matrix (the degree-correlation
     // profile): two co-partitioned deg joins + one pair-bucket count ------
     "joint_degree" -> ((s, dir) => {
-      val e = und(s, dir)
+      val e = undM(s, dir)
       val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
       e.join(deg.toDF("src", "ds"), "src")
         .join(deg.toDF("dst", "dd"), "dst")
@@ -1371,7 +1382,7 @@ object Queries {
     // --- multi-seed personalized PageRank: one SPARSE vector per seed
     // (ids ≡ 0 mod 500), 4 fixed iterations keyed (seed, id) -------------
     "ppr_multi4" -> ((s, dir) =>
-      PageRank.multiSeedFixedIterations(und(s, dir),
+      PageRank.multiSeedFixedIterations(undM(s, dir),
         id => pmod(id, lit(500L)) === 0, 4)
         .select(col("seed"), col("id"), round(col("rank"), 6).as("pr"))
         .orderBy("seed", "id")),
@@ -1434,7 +1445,7 @@ object Queries {
       val e = GraphOps.symmetrize(TestGraphs.copurchase(s, dir)
         .where(col("weight") >= 2).select("src", "dst"))
         .localCheckpoint(true)
-      val labels = LabelPropagation.fixedRounds(e, 5)
+      val labels = LabelPropagation.fixedRounds(e, 5, allIn = true)
       val ranks = PageRank.fixedIterations(e, 5)
         .select(col("id"), round(col("rank"), 6).as("pr"))
       val w = Window.partitionBy("label")

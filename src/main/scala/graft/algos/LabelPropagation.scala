@@ -30,7 +30,8 @@ object LabelPropagation {
   private def round(edges: DataFrame, labels: DataFrame,
                     withFlag: Boolean = false,
                     allIn: Boolean = false): DataFrame = {
-    val msgs = edges.join(labels.withColumnRenamed("id", "src"), "src")
+    val msgs = edges.join(labels.withColumnRenamed("id", "src")
+        .hint("shuffle_hash"), "src")
       .groupBy(col("dst"), col("label"))
       .agg(count(lit(1)).as("cnt"))
     val best = msgs.groupBy(col("dst").as("id"))
@@ -55,11 +56,21 @@ object LabelPropagation {
     }
   }
 
-  /** Lazily-composed fixed-k rounds (no actions) — oracle-checked path. */
-  def fixedRounds(edges: DataFrame, k: Int): DataFrame = {
+  /** Lazily-composed fixed-k rounds (no actions) — oracle-checked path.
+    *
+    * `allIn = true` (caller-asserted: every vertex has ≥1 in-neighbor —
+    * true for any symmetrized graph) drops the carry join: the mode then
+    * exists for every vertex, `coalesce(newlabel, label)` ≡ `newlabel`,
+    * and each round references the previous labels ONCE. The k-round lazy
+    * plan collapses from ~2^k leaves (688 KB of formatted plan at k=5 —
+    * measured r6) to a linear chain, and k carry joins disappear outright.
+    * Results are identical by construction; the oracle is unchanged.
+    */
+  def fixedRounds(edges: DataFrame, k: Int,
+                  allIn: Boolean = false): DataFrame = {
     val e = edges.select("src", "dst")
     var labels = GraphOps.vertices(e).select(col("id"), col("id").as("label"))
-    for (_ <- 1 to k) labels = round(e, labels)
+    for (_ <- 1 to k) labels = round(e, labels, allIn = allIn)
     labels
   }
 
@@ -86,7 +97,7 @@ object LabelPropagation {
         .otherwise(lit(null).cast("long")).as("label"))
     for (_ <- 1 to k) {
       val msgs = e.join(labels.where(col("label").isNotNull)
-          .withColumnRenamed("id", "src"), "src")
+          .withColumnRenamed("id", "src").hint("shuffle_hash"), "src")
         .groupBy(col("dst"), col("label"))
         .agg(count(lit(1)).as("cnt"))
       val best = msgs.groupBy(col("dst").as("id"))
@@ -105,21 +116,28 @@ object LabelPropagation {
     * same determinism discipline as the unweighted mode, so exact-match
     * oracles stay achievable. Lazily-composed fixed-k rounds.
     */
-  def weightedFixedRounds(edges: DataFrame, k: Int): DataFrame = {
+  def weightedFixedRounds(edges: DataFrame, k: Int,
+                          allIn: Boolean = false): DataFrame = {
     val e = edges.select(col("src"), col("dst"),
       col("weight").cast("double").as("weight"))
     var labels = GraphOps.vertices(e.select("src", "dst"))
       .select(col("id"), col("id").as("label"))
     for (_ <- 1 to k) {
-      val msgs = e.join(labels.withColumnRenamed("id", "src"), "src")
+      val msgs = e.join(labels.withColumnRenamed("id", "src")
+          .hint("shuffle_hash"), "src")
         .groupBy(col("dst"), col("label"))
         .agg(sum(col("weight")).as("w"))
       val best = msgs.groupBy(col("dst").as("id"))
         .agg(max_by(col("label"),
           struct(col("w"), (-col("label")).as("nl"))).as("newlabel"))
-      labels = labels.join(best, Seq("id"), "left_outer")
-        .select(col("id"),
-          coalesce(col("newlabel"), col("label")).as("label"))
+      // allIn (symmetrized input): every vertex gets a mode vote, so the
+      // carry join is a proven no-op — single-reference linear chain (the
+      // fixedRounds discipline; plan shrinks from ~2^k leaves to k).
+      labels =
+        if (allIn) best.select(col("id"), col("newlabel").as("label"))
+        else labels.join(best, Seq("id"), "left_outer")
+          .select(col("id"),
+            coalesce(col("newlabel"), col("label")).as("label"))
     }
     labels
   }

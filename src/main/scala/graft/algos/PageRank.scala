@@ -205,16 +205,17 @@ object PageRank {
     val e = edges.select("src", "dst")
     val out = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val verts = GraphOps.vertices(e)
-    val eDeg = e.join(out, "src")
+    val eDeg = e.join(out.hint("shuffle_hash"), "src")
     def tele(c: Column): Column =
       when(sourcePred(c), lit(Teleport)).otherwise(lit(0.0))
     var rank = verts.select(col("id"),
       when(sourcePred(col("id")), lit(1.0)).otherwise(lit(0.0)).as("rank"))
     for (_ <- 1 to k) {
-      val msgs = eDeg.join(rank.withColumnRenamed("id", "src"), "src")
+      val msgs = eDeg.join(rank.withColumnRenamed("id", "src")
+          .hint("shuffle_hash"), "src")
         .select(col("dst").as("id"), (col("rank") / col("outdeg")).as("m"))
         .groupBy("id").agg(sum(col("m")).as("mass"))
-      rank = verts.join(msgs, Seq("id"), "left_outer")
+      rank = verts.join(msgs.hint("shuffle_hash"), Seq("id"), "left_outer")
         .select(col("id"),
           (tele(col("id")) +
             lit(Damping) * coalesce(col("mass"), lit(0.0))).as("rank"))
@@ -238,7 +239,7 @@ object PageRank {
                                k: Int): DataFrame = {
     val e = edges.select("src", "dst")
     val out = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val eDeg = e.join(out, "src")
+    val eDeg = e.join(out.hint("shuffle_hash"), "src")
     val seeds = GraphOps.vertices(e).where(seedPred(col("id")))
       .select(col("id").as("seed"))
     val base = seeds.select(col("seed"), col("seed").as("id"),
@@ -246,7 +247,8 @@ object PageRank {
     var rank = seeds.select(col("seed"), col("seed").as("id"),
       lit(1.0).as("rank"))
     for (_ <- 1 to k) {
-      val msgs = eDeg.join(rank.withColumnRenamed("id", "src"), "src")
+      val msgs = eDeg.join(rank.withColumnRenamed("id", "src")
+          .hint("shuffle_hash"), "src")
         .select(col("seed"), col("dst").as("id"),
           (col("rank") / col("outdeg")).as("m"))
         .groupBy("seed", "id").agg(sum(col("m")).as("mass"))
@@ -266,13 +268,14 @@ object PageRank {
     val e = edges.select("src", "dst")
     val out = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val verts = GraphOps.vertices(e)
-    val eDeg = e.join(out, "src")
+    val eDeg = e.join(out.hint("shuffle_hash"), "src")
     var rank = verts.select(col("id"), lit(1.0).as("rank"))
     for (_ <- 1 to k) {
-      val msgs = eDeg.join(rank.withColumnRenamed("id", "src"), "src")
+      val msgs = eDeg.join(rank.withColumnRenamed("id", "src")
+          .hint("shuffle_hash"), "src")
         .select(col("dst").as("id"), (col("rank") / col("outdeg")).as("m"))
         .groupBy("id").agg(sum(col("m")).as("mass"))
-      rank = verts.join(msgs, Seq("id"), "left_outer")
+      rank = verts.join(msgs.hint("shuffle_hash"), Seq("id"), "left_outer")
         .select(col("id"),
           (lit(Teleport) +
             lit(Damping) * coalesce(col("mass"), lit(0.0))).as("rank"))
@@ -295,14 +298,15 @@ object PageRank {
       col("weight").cast("double").as("w"))
     val out = e.groupBy("src").agg(sum(col("w")).as("wout"))
     val verts = GraphOps.vertices(e)
-    val eDeg = e.join(out, "src")
+    val eDeg = e.join(out.hint("shuffle_hash"), "src")
     var rank = verts.select(col("id"), lit(1.0).as("rank"))
     for (_ <- 1 to k) {
-      val msgs = eDeg.join(rank.withColumnRenamed("id", "src"), "src")
+      val msgs = eDeg.join(rank.withColumnRenamed("id", "src")
+          .hint("shuffle_hash"), "src")
         .select(col("dst").as("id"),
           (col("rank") * col("w") / col("wout")).as("m"))
         .groupBy("id").agg(sum(col("m")).as("mass"))
-      rank = verts.join(msgs, Seq("id"), "left_outer")
+      rank = verts.join(msgs.hint("shuffle_hash"), Seq("id"), "left_outer")
         .select(col("id"),
           (lit(Teleport) +
             lit(Damping) * coalesce(col("mass"), lit(0.0))).as("rank"))

@@ -33,8 +33,8 @@ object TriangleCount {
       .groupBy("id")
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("deg"))
     val fwd = und
-      .join(deg.toDF("src", "dsrc"), "src")
-      .join(deg.toDF("dst", "ddst"), "dst")
+      .join(deg.toDF("src", "dsrc").hint("shuffle_hash"), "src")
+      .join(deg.toDF("dst", "ddst").hint("shuffle_hash"), "dst")
     val srcFirst = col("dsrc") < col("ddst") ||
       (col("dsrc") === col("ddst") && col("src") < col("dst"))
     fwd.select(
@@ -48,9 +48,9 @@ object TriangleCount {
     val e = orientedByDegree(edges)
     val e1 = e.select(col("src").as("a"), col("dst").as("b"))
     val e2 = e.select(col("src").as("b"), col("dst").as("c"))
-    val wedges = e1.join(e2, "b").select("a", "c")
+    val wedges = e1.join(e2.hint("shuffle_hash"), "b").select("a", "c")
     val closing = e.select(col("src").as("a"), col("dst").as("c"))
-    wedges.join(closing, Seq("a", "c"), "left_semi")
+    wedges.join(closing.hint("shuffle_hash"), Seq("a", "c"), "left_semi")
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("triangles"))
   }
 
@@ -61,9 +61,9 @@ object TriangleCount {
     val e = orientedByDegree(edges)
     val e1 = e.select(col("src").as("a"), col("dst").as("b"))
     val e2 = e.select(col("src").as("b"), col("dst").as("c"))
-    val wedges = e1.join(e2, "b").select("a", "b", "c")
+    val wedges = e1.join(e2.hint("shuffle_hash"), "b").select("a", "b", "c")
     val closing = e.select(col("src").as("a"), col("dst").as("c"))
-    val tris = wedges.join(closing, Seq("a", "c"), "left_semi")
+    val tris = wedges.join(closing.hint("shuffle_hash"), Seq("a", "c"), "left_semi")
     tris.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
       .groupBy("id")
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("tri_cnt"))
@@ -89,9 +89,9 @@ object TriangleCount {
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("deg"))
     val e1 = e.select(col("src").as("a"), col("dst").as("b"))
     val e2 = e.select(col("src").as("b"), col("dst").as("c"))
-    val wedges = e1.join(e2, "b").select("a", "b", "c")
+    val wedges = e1.join(e2.hint("shuffle_hash"), "b").select("a", "b", "c")
     val closing = e.select(col("src").as("a"), col("dst").as("c"))
-    val tris = wedges.join(closing, Seq("a", "c"), "left_semi")
+    val tris = wedges.join(closing.hint("shuffle_hash"), Seq("a", "c"), "left_semi")
     val tri = tris.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
       .groupBy("id")
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("tri_cnt"))
@@ -125,7 +125,7 @@ object TriangleCount {
       .select(col("id").as("src")), Seq("src"), "left_semi")
     val w1 = capped.select(col("src").as("ctr"), col("dst").as("v"))
     val w2 = capped.select(col("src").as("ctr"), col("dst").as("w"))
-    val pairs = w1.join(w2, "ctr").where(col("v") < col("w"))
+    val pairs = w1.join(w2.hint("shuffle_hash"), "ctr").where(col("v") < col("w"))
       .groupBy("v", "w")
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("cn"))
     pairs.agg(
@@ -151,7 +151,7 @@ object TriangleCount {
       .select(col("id").as("src")), Seq("src"), "left_semi")
     val w1 = capped.select(col("src").as("ctr"), col("dst").as("v"))
     val w2 = capped.select(col("src").as("ctr"), col("dst").as("w"))
-    val pairs = w1.join(w2, "ctr").where(col("v") < col("w"))
+    val pairs = w1.join(w2.hint("shuffle_hash"), "ctr").where(col("v") < col("w"))
       .groupBy("v", "w")
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("cn"))
       .where(col("cn") >= 2)
@@ -178,15 +178,17 @@ object TriangleCount {
     val e = orientedByDegree(edges)
     val e1 = e.select(col("src").as("a"), col("dst").as("b"))
     val e2 = e.select(col("src").as("b"), col("dst").as("c"))
-    val wedges = e1.join(e2, "b").select("a", "b", "c")
+    val wedges = e1.join(e2.hint("shuffle_hash"), "b").select("a", "b", "c")
     val closing = e.select(col("src").as("a"), col("dst").as("c"))
-    val tris = wedges.join(closing, Seq("a", "c"), "left_semi")
+    val tris = wedges.join(closing.hint("shuffle_hash"), Seq("a", "c"), "left_semi")
     val ext = e.select(col("src").as("c"), col("dst").as("d"))
-    val cand = tris.join(ext, "c")
+    val cand = tris.join(ext.hint("shuffle_hash"), "c")
     cand
-      .join(e.select(col("src").as("a"), col("dst").as("d")),
+      .join(e.select(col("src").as("a"), col("dst").as("d"))
+          .hint("shuffle_hash"),
         Seq("a", "d"), "left_semi")
-      .join(e.select(col("src").as("b"), col("dst").as("d")),
+      .join(e.select(col("src").as("b"), col("dst").as("d"))
+          .hint("shuffle_hash"),
         Seq("b", "d"), "left_semi")
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("cliques4"))
   }
@@ -210,7 +212,7 @@ object TriangleCount {
       Seq("src"), "left_semi")
     val n1 = capped.select(col("src").as("ctr"), col("dst").as("u"))
     val n2 = capped.select(col("src").as("ctr"), col("dst").as("w"))
-    val pairs = n1.join(n2, "ctr").where(col("u") < col("w"))
+    val pairs = n1.join(n2.hint("shuffle_hash"), "ctr").where(col("u") < col("w"))
       .groupBy("u", "w")
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("cn"))
     pairs.agg(
@@ -235,13 +237,15 @@ object TriangleCount {
       .transform(Lineage.cut(_, eager = true))
     val e1 = e.select(col("src").as("a"), col("dst").as("b"))
     val e2 = e.select(col("src").as("b"), col("dst").as("c"))
-    val wedges = e1.join(e2, "b").select("a", "c")
+    val wedges = e1.join(e2.hint("shuffle_hash"), "b").select("a", "c")
     val cyc = wedges
-      .join(e.select(col("src").as("c"), col("dst").as("a")),
+      .join(e.select(col("src").as("c"), col("dst").as("a"))
+          .hint("shuffle_hash"),
         Seq("a", "c"), "left_semi")
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("c3"))
     val trans = wedges
-      .join(e.select(col("src").as("a"), col("dst").as("c")),
+      .join(e.select(col("src").as("a"), col("dst").as("c"))
+          .hint("shuffle_hash"),
         Seq("a", "c"), "left_semi")
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("t3"))
     cyc.crossJoin(trans)
@@ -268,12 +272,12 @@ object TriangleCount {
     val e = orientedByDegree(edges)
     val e1 = e.select(col("src").as("a"), col("dst").as("b"))
     val e2 = e.select(col("src").as("b"), col("dst").as("c"))
-    val wedges = e1.join(e2, "b").select("a", "b", "c")
+    val wedges = e1.join(e2.hint("shuffle_hash"), "b").select("a", "b", "c")
       .where(GraphOps.md5Prio(concat_ws(":", col("a"), col("b"), col("c")))
         % rate === 0)
     val closing = e.select(col("src").as("a"), col("dst").as("c"),
       lit(1L).as("hit"))
-    wedges.join(closing, Seq("a", "c"), "left")
+    wedges.join(closing.hint("shuffle_hash"), Seq("a", "c"), "left")
       .agg(org.apache.spark.sql.functions.count(lit(1)).cast("long")
         .as("n_sampled"),
         coalesce(sum("hit"), lit(0L)).cast("long").as("n_closed"))
@@ -293,8 +297,8 @@ object TriangleCount {
       .groupBy(col("src").as("id"))
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("deg"))
     val fwd = edgesW.select("src", "dst", "weight")
-      .join(deg.toDF("src", "dsrc"), "src")
-      .join(deg.toDF("dst", "ddst"), "dst")
+      .join(deg.toDF("src", "dsrc").hint("shuffle_hash"), "src")
+      .join(deg.toDF("dst", "ddst").hint("shuffle_hash"), "dst")
     val srcFirst = col("dsrc") < col("ddst") ||
       (col("dsrc") === col("ddst") && col("src") < col("dst"))
     val e = fwd.select(
@@ -306,10 +310,10 @@ object TriangleCount {
       col("w").as("w1"))
     val e2 = e.select(col("src").as("b"), col("dst").as("c"),
       col("w").as("w2"))
-    val wedges = e1.join(e2, "b").select("a", "c", "w1", "w2")
+    val wedges = e1.join(e2.hint("shuffle_hash"), "b").select("a", "c", "w1", "w2")
     val closing = e.select(col("src").as("a"), col("dst").as("c"),
       col("w").as("w3"))
-    wedges.join(closing, Seq("a", "c"))
+    wedges.join(closing.hint("shuffle_hash"), Seq("a", "c"))
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_triangles"),
         coalesce(sum(least(col("w1"), col("w2"), col("w3"))), lit(0L))
           .as("strength_sum"))
@@ -342,11 +346,11 @@ object TriangleCount {
       col("s").as("s1"))
     val e2 = e.select(col("src").as("b"), col("dst").as("c"),
       col("s").as("s2"))
-    val wedges = e1.join(e2, "b").select("a", "c", "s1", "s2")
+    val wedges = e1.join(e2.hint("shuffle_hash"), "b").select("a", "c", "s1", "s2")
     val closing = e.select(col("src").as("a"), col("dst").as("c"),
       col("s").as("s3"))
     val par = (col("s1") + col("s2") + col("s3")) % 2
-    wedges.join(closing, Seq("a", "c")).agg(
+    wedges.join(closing.hint("shuffle_hash"), Seq("a", "c")).agg(
       coalesce(sum(when(par === 0, 1L).otherwise(0L)), lit(0L))
         .as("balanced"),
       coalesce(sum(when(par === 1, 1L).otherwise(0L)), lit(0L))
