@@ -1401,7 +1401,7 @@ object Queries {
     // --- APPEND-mode windowed counts under a real watermark late-drop
     // (the streaming semantics complete mode can't show): deterministic
     // event_id%4 batches, mtime-pinned replay order; boundaries pinned by
-    // Wave26Spec (drop iff end < wm, emit iff end ≤ final wm) -------------
+    // Wave26Spec (drop iff end ≤ wm, emit iff end ≤ final wm) -------------
     "stream_late" -> ((s, dir) =>
       graft.streaming.EdgeStream.lateDropWindowCounts(
         TestGraphs.table(s, dir, "events"), 4, "1 hour")
@@ -1531,7 +1531,8 @@ object Queries {
           expr("unix_micros(cast(ts as timestamp)) div 86400000000")
             .as("day"), col("event_type"))
         .distinct().localCheckpoint(true)
-      val nb = b.select("user_id", "day").distinct().count()
+      val nb = b.select("user_id", "day").distinct()
+        .agg(count(lit(1)).as("nb")) // lazy 1-row basket count
       val nt = b.groupBy(col("event_type")).agg(count(lit(1)).as("nt"))
       val pairs = b.toDF("user_id", "day", "t1")
         .join(b.toDF("user_id", "day", "t2"), Seq("user_id", "day"))
@@ -1540,8 +1541,9 @@ object Queries {
       pairs
         .join(broadcast(nt.toDF("t1", "n1")), "t1")
         .join(broadcast(nt.toDF("t2", "n2")), "t2")
+        .crossJoin(broadcast(nb))
         .select(col("t1"), col("t2"), col("n_pair"),
-          expr(s"(n_pair * ${nb}L * 1000000) div (n1 * n2)")
+          expr("(n_pair * nb * 1000000) div (n1 * n2)")
             .as("lift_micro"))
         .orderBy("t1", "t2")
     }),
@@ -1606,13 +1608,17 @@ object Queries {
           expr("unix_micros(cast(ts as timestamp)) div 86400000000")
             .as("day"), col("event_type"))
         .distinct().localCheckpoint(true)
-      val nb = b.select("user_id", "day").distinct().count()
-      val minSup = (nb * 5 + 99) / 100
+      // 5% support threshold as a lazy 1-row broadcast (no eager .count()
+      // in the builder — SURVEY §7.3; ADVICE r5)
+      val minSup = b.select("user_id", "day").distinct()
+        .agg(expr("(count(1) * 5 + 99) div 100").as("min_sup"))
       val pairs = b.toDF("user_id", "day", "t1")
         .join(b.toDF("user_id", "day", "t2"), Seq("user_id", "day"))
         .where(col("t1") < col("t2"))
         .groupBy("t1", "t2").agg(count(lit(1)).as("np"))
-        .where(col("np") >= minSup).localCheckpoint(true)
+        .crossJoin(broadcast(minSup))
+        .where(col("np") >= col("min_sup"))
+        .select("t1", "t2", "np").localCheckpoint(true)
       val cand = pairs.select("t1", "t2")
         .join(pairs.toDF("t1", "t3", "np2").select("t1", "t3"), "t1")
         .where(col("t2") < col("t3"))
@@ -1625,7 +1631,9 @@ object Queries {
         .join(b.toDF("user_id", "day", "t3"), Seq("user_id", "day", "t3"),
           "left_semi")
         .groupBy("t1", "t2", "t3").agg(count(lit(1)).as("n"))
-        .where(col("n") >= minSup)
+        .crossJoin(broadcast(minSup.select(col("min_sup").as("ms2"))))
+        .where(col("n") >= col("ms2"))
+        .select("t1", "t2", "t3", "n")
         .orderBy("t1", "t2", "t3")
     }),
 
@@ -1659,14 +1667,15 @@ object Queries {
       val tfLang = toks.groupBy("lang", "tok").agg(count(lit(1)).as("tfl"))
       val tfAll = toks.groupBy("tok").agg(count(lit(1)).as("tfa"))
       val tokLang = toks.groupBy("lang").agg(count(lit(1)).as("nl"))
-      val tokAll = toks.count()
+      val tokAll = toks.agg(count(lit(1)).as("ta")) // lazy 1-row corpus size
       val w = Window.partitionBy("lang")
         .orderBy(col("lift_micro").desc, col("tok"))
       tfLang.where(col("tfl") >= 5)
         .join(tfAll, "tok")
         .join(broadcast(tokLang), "lang")
+        .crossJoin(broadcast(tokAll))
         .select(col("lang"), col("tok"), col("tfl"),
-          expr(s"(tfl * ${tokAll}L * 1000000) div (tfa * nl)")
+          expr("(tfl * ta * 1000000) div (tfa * nl)")
             .as("lift_micro"))
         .withColumn("rk", row_number().over(w).cast("long"))
         .where(col("rk") <= 3)
@@ -1929,23 +1938,31 @@ object Queries {
             .as("day"),
           round(col("value") * 100, 0).cast("long").as("cents"))
         .localCheckpoint(true)
-      val maxDay = ev.agg(max(col("day"))).head().getLong(0)
-      val rfm = ev.groupBy("user_id")
-        .agg((lit(maxDay) - max(col("day"))).as("r"),
+      // r = maxDay − max(day) = min(maxDay − day): the corpus max rides a
+      // lazy 1-row broadcast instead of an eager .head() (SURVEY §7.3
+      // lazily-built contract; ADVICE r5)
+      val maxDay = ev.agg(max(col("day")).as("max_day"))
+      val rfm = ev.crossJoin(broadcast(maxDay))
+        .groupBy("user_id")
+        .agg(min(col("max_day") - col("day")).as("r"),
           count(lit(1)).as("f"), sum(col("cents")).as("m"))
         .localCheckpoint(true)
-      // tercile thresholds via the exact discrete-rank recipe (33/66)
-      def th(c: String) = graft.functions.Quantiles.discreteBy(
+      // tercile thresholds via the exact discrete-rank recipe (33/66),
+      // pivoted to lazy 1-row frames (no .collect() in the builder)
+      def th(c: String, n: String) = graft.functions.Quantiles.discreteBy(
           rfm.select(lit("all").as("g"), col(c)), "g", c, Seq(33, 66))
-        .orderBy("pct").collect().map(_.getLong(2))
-      val (r33, r66) = { val t = th("r"); (t(0), t(1)) }
-      val (f33, f66) = { val t = th("f"); (t(0), t(1)) }
-      val (m33, m66) = { val t = th("m"); (t(0), t(1)) }
-      def bucket(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =
+        .groupBy()
+        .agg(max(when(col("pct") === 33, col("value"))).as(s"${n}33"),
+          max(when(col("pct") === 66, col("value"))).as(s"${n}66"))
+      def bucket(c: org.apache.spark.sql.Column, lo: org.apache.spark.sql.Column,
+                 hi: org.apache.spark.sql.Column) =
         when(c <= lo, 1L).when(c <= hi, 2L).otherwise(3L)
-      rfm.select(bucket(col("r"), r33, r66).as("rb"),
-          bucket(col("f"), f33, f66).as("fb"),
-          bucket(col("m"), m33, m66).as("mb"))
+      rfm.crossJoin(broadcast(th("r", "r")))
+        .crossJoin(broadcast(th("f", "f")))
+        .crossJoin(broadcast(th("m", "m")))
+        .select(bucket(col("r"), col("r33"), col("r66")).as("rb"),
+          bucket(col("f"), col("f33"), col("f66")).as("fb"),
+          bucket(col("m"), col("m33"), col("m66")).as("mb"))
         .groupBy("rb", "fb", "mb").agg(count(lit(1)).as("n_users"))
         .orderBy("rb", "fb", "mb")
     }),
@@ -2001,10 +2018,13 @@ object Queries {
           expr("unix_micros(cast(ts as timestamp)) div 86400000000")
             .as("day"))
         .localCheckpoint(true)
-      val maxDay = ev.agg(max(col("day"))).head().getLong(0)
-      ev.select(col("user_id"),
-          expr(s"shiftleft(1L, 10 - least(" +
-            s"cast((${maxDay}L - day) div 7 as int), 10))").as("contrib"))
+      // corpus max rides a lazy 1-row broadcast (no eager .head() in the
+      // builder — SURVEY §7.3 lazily-built contract; ADVICE r5)
+      val maxDay = ev.agg(max(col("day")).as("max_day"))
+      ev.crossJoin(broadcast(maxDay))
+        .select(col("user_id"),
+          expr("shiftleft(1L, 10 - least(" +
+            "cast((max_day - day) div 7 as int), 10))").as("contrib"))
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_events"), sum(col("contrib")).as("score"))
         .orderBy("user_id")

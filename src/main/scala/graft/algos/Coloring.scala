@@ -44,13 +44,15 @@ object Coloring {
       .where(col("src") =!= col("dst"))
       .repartition(numPartitions, col("src"))
       .transform(Lineage.cut(_, eager = true))
+    val nEdges = e.count()
+    Lineage.withAdaptiveLoopConf(spark, nEdges, numPartitions) { nEff =>
     val priExpr =
       if (md5Pri)
         struct(GraphOps.md5Prio(col("id").cast("string")), col("id"))
       else struct(xxhash64(col("id")), col("id"))
     var uncolored = GraphOps.vertices(e)
       .select(col("id"), priExpr.as("pri"))
-      .repartition(numPartitions, col("id"))
+      .repartition(nEff, col("id"))
       .transform(Lineage.cut(_, eager = true))
     var colored = spark.range(0).select(col("id"), lit(0).cast("int")
       .as("color")) // empty (id, color)
@@ -79,7 +81,7 @@ object Coloring {
               sequence(lit(0), size(col("used"))), col("used"))))
             .cast("int").as("color"))
       colored = colored.unionByName(newly)
-        .repartition(numPartitions, col("id"))
+        .repartition(nEff, col("id"))
         .transform(Lineage.cut(_, eager = true))
       uncolored = uncolored.join(newly, Seq("id"), "left_anti")
         .transform(Lineage.cut(_, eager = true))
@@ -97,5 +99,6 @@ object Coloring {
           s"$maxRounds rounds — raise maxRounds")
     }
     (colored, r)
+    }
   }
 }

@@ -27,6 +27,7 @@ object ConnectedComponents {
           least(col("label"), col("agg")).as("label"),
           (col("agg").isNotNull && col("agg") < col("label")).as("changed"))
     val isStationary = false
+    override val partitionCountInvariant = true // exact min combine
   }
 
   /** Exact components to fixpoint. Input edges may be directed — they are
@@ -69,6 +70,8 @@ object ConnectedComponents {
       .distinct()
       .repartition(numPartitions, col("src"))
       .transform(Lineage.cut(_, eager = true))
+    val nEff = Lineage.adaptiveParallelism(e.count(), numPartitions)
+    Lineage.withLoopConf(spark, nEff) {
 
     def nbrs(ed: DataFrame): DataFrame =
       ed.select(col("src").as("u"), col("dst").as("v"))
@@ -110,7 +113,7 @@ object ConnectedComponents {
     var done = e.isEmpty
     while (rounds < maxRounds && !done) {
       val next = smallStar(largeStar(e))
-        .repartition(numPartitions, col("src"))
+        .repartition(nEff, col("src"))
         .transform(Lineage.cut(_))
       val s2 = sig(next) // materializes the round in one job
       done = s2 == s
@@ -128,6 +131,7 @@ object ConnectedComponents {
         Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("root"), col("id")).as("component"))
     (comp, rounds)
+    }
   }
 
   /** Incremental connected components — the daily-delta production path:

@@ -46,6 +46,9 @@ object Densest {
           col("weight").cast("long").as("w"))
         .repartition(numPartitions, col("src"))
         .transform(Lineage.cut(_, eager = true))
+      // scale-adaptive round parallelism (restored by withLoopConf's exit)
+      spark.conf.set("spark.sql.shuffle.partitions",
+        Lineage.adaptiveParallelism(e.count(), numPartitions).toString)
       val prof = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
       var n = -1L
       var round = 0
@@ -94,6 +97,9 @@ object Densest {
       var e = edges.select("src", "dst")
         .repartition(numPartitions, col("src"))
         .transform(Lineage.cut(_, eager = true))
+      // scale-adaptive round parallelism (restored by withLoopConf's exit)
+      spark.conf.set("spark.sql.shuffle.partitions",
+        Lineage.adaptiveParallelism(e.count(), numPartitions).toString)
       val prof = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
       var n = -1L
       var round = 0

@@ -39,12 +39,16 @@ object Hits {
       .select(col("id"), lit(1L).as("h"))
     var a: DataFrame = null
     for (i <- 1 to k) {
-      a = e.join(h.withColumnRenamed("id", "src"), "src")
+      // lazy per-round cuts: the whole k-iteration chain materializes as
+      // one pipelined job at the caller's action (fixedRounds r6 pattern)
+      a = e.join(h.withColumnRenamed("id", "src").hint("shuffle_hash"),
+          "src")
         .groupBy(col("dst").as("id")).agg(sum(col("h")).as("a"))
-        .transform(Lineage.cut(_, eager = true))
-      h = e.join(a.withColumnRenamed("id", "dst"), "dst")
+        .transform(Lineage.cut(_))
+      h = e.join(a.withColumnRenamed("id", "dst").hint("shuffle_hash"),
+          "dst")
         .groupBy(col("src").as("id")).agg(sum(col("a")).as("h"))
-      if (i < k) h = h.transform(Lineage.cut(_, eager = true))
+      if (i < k) h = h.transform(Lineage.cut(_))
     }
     h.select(col("id"), lit("hub").as("kind"), col("h").as("score"))
       .unionByName(

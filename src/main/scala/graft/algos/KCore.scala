@@ -22,7 +22,10 @@ object KCore {
     * Output: surviving vertices with their in-subgraph degree (id, deg).
     */
   def peel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val spark = edges.sparkSession
     var e = GraphOps.symmetrize(edges).transform(Lineage.cut(_, eager = true))
+    val req = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    Lineage.withAdaptiveLoopConf(spark, e.count(), req) { _ =>
     for (_ <- 1 to rounds) {
       val keep = e.groupBy(col("src").as("id"))
         .agg(count(lit(1)).as("deg"))
@@ -35,6 +38,7 @@ object KCore {
         .transform(Lineage.cut(_, eager = true))
     }
     e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    }
   }
 
   /** Peel to the true k-core: rounds until no vertex is removed; each round
@@ -45,8 +49,11 @@ object KCore {
     */
   def converged(edges: DataFrame, k: Int,
                 maxRounds: Int = 100): (DataFrame, Int) = {
+    val spark = edges.sparkSession
     var e = GraphOps.symmetrize(edges).transform(Lineage.cut(_, eager = true))
     var n = e.count()
+    val req = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    Lineage.withAdaptiveLoopConf(spark, n, req) { _ =>
     var r = 0
     var done = false
     while (r < maxRounds && !done) {
@@ -66,6 +73,7 @@ object KCore {
       r += 1
     }
     (e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg")), r)
+    }
   }
 
   /** Weighted k-core (s-core: Eidsaa & Almaas, PRL 111, 2013) — `rounds`
@@ -83,6 +91,9 @@ object KCore {
       .union(wedges.select(col("dst").as("src"), col("src").as("dst"),
         col("weight")))
       .transform(Lineage.cut(_, eager = true))
+    val spark = wedges.sparkSession
+    val req = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    Lineage.withAdaptiveLoopConf(spark, e.count(), req) { _ =>
     for (_ <- 1 to rounds) {
       val keep = e.groupBy(col("src").as("id"))
         .agg(sum(col("weight")).as("wdeg"))
@@ -95,6 +106,7 @@ object KCore {
         .transform(Lineage.cut(_, eager = true))
     }
     e.groupBy(col("src").as("id")).agg(sum(col("weight")).as("wdeg"))
+    }
   }
 
   /** Full core DECOMPOSITION — coreness(v) = max k with v ∈ k-core
@@ -123,6 +135,8 @@ object KCore {
     val spark = edges.sparkSession
     var levels = spark.range(0)
       .select(col("id"), col("id").as("coreness"))
+    val req = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    Lineage.withAdaptiveLoopConf(spark, n, req) { _ =>
     var k = 0
     val perLevel = scala.collection.mutable.ArrayBuffer.empty[Int]
     while (n > 0) {
@@ -157,5 +171,6 @@ object KCore {
     }
     val out = levels.groupBy("id").agg(max(col("coreness")).as("coreness"))
     (out, k - 1, perLevel.toSeq)
+    }
   }
 }

@@ -42,10 +42,10 @@ object Katz {
     val v = graft.graph.GraphOps.vertices(e)
     var n = v.select(col("id"), lit(1L).as("w"))
     val perLevel = (1 to k).map { l =>
-      n = e.join(n.withColumnRenamed("id", "src").withColumnRenamed("w", "pw"),
-          "src")
+      n = e.join(n.withColumnRenamed("id", "src").withColumnRenamed("w", "pw")
+          .hint("shuffle_hash"), "src")
         .groupBy(col("dst").as("id")).agg(sum(col("pw")).as("w"))
-        .transform(Lineage.cut(_, eager = true))
+        .transform(Lineage.cut(_)) // lazy: one pipelined job (r6)
       n.withColumnRenamed("w", s"walks$l")
     }
     val joined = perLevel.foldLeft(v)((acc, lvl) =>

@@ -159,9 +159,11 @@ object LabelPropagation {
           numPartitions: Int = 32, batch: Int = 4): (DataFrame, Int) = {
     val e = edges.select("src", "dst")
       .repartition(numPartitions, col("src")).transform(Lineage.cut(_, eager = true))
+    val nEff = Lineage.adaptiveParallelism(e.count(), numPartitions)
+    Lineage.withLoopConf(spark, nEff) {
     var labels = GraphOps.vertices(e)
       .select(col("id"), col("id").as("label"))
-      .repartition(numPartitions, col("id")).transform(Lineage.cut(_, eager = true))
+      .repartition(nEff, col("id")).transform(Lineage.cut(_, eager = true))
     // One cheap prep count on the checkpointed edges: if every vertex has
     // an in-neighbor (any symmetrized graph), rounds single-reference the
     // labels — the k-round lazy batch is then a linear chain instead of
@@ -187,5 +189,6 @@ object LabelPropagation {
       done = changed == 0
     }
     (labels, r)
+    }
   }
 }

@@ -102,6 +102,7 @@ object Matching {
       .repartition(numPartitions, col("src"))
       .transform(Lineage.cut(_, eager = true))
     var nActive = active.count()
+    Lineage.withAdaptiveLoopConf(spark, nActive, numPartitions) { _ =>
     var caps = GraphOps.vertices(active)
       .select(col("id").as("v"), lit(b.toLong).as("cap"))
       .transform(Lineage.cut(_, eager = true))
@@ -149,6 +150,7 @@ object Matching {
       throw new IllegalStateException(
         s"b-matching did not drain $nActive edges in $maxRounds rounds")
     (matched, r)
+    }
   }
 
   /** Shared locally-dominant-edge loop over (src, dst, [weight,] p) rows
@@ -162,6 +164,7 @@ object Matching {
       .repartition(numPartitions, col("src"))
       .transform(Lineage.cut(_, eager = true))
     var nActive = active.count()
+    Lineage.withAdaptiveLoopConf(spark, nActive, numPartitions) { _ =>
     var matched = spark.range(0)
       .select(outCols.map(c => col("id").as(c)): _*)
     var r = 0
@@ -191,5 +194,6 @@ object Matching {
       throw new IllegalStateException(
         s"matching did not drain $nActive edges in $maxRounds rounds")
     (matched, r)
+    }
   }
 }

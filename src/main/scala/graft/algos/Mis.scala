@@ -36,6 +36,7 @@ object Mis {
       .repartition(numPartitions, col("src"))
       .transform(Lineage.cut(_, eager = true))
     val verts = GraphOps.vertices(e).transform(Lineage.cut(_, eager = true))
+    Lineage.withAdaptiveLoopConf(spark, e.count(), numPartitions) { _ =>
     var active = verts
       .select(col("id"), GraphOps.md5Prio(col("id").cast("string")).as("p"))
       .transform(Lineage.cut(_))
@@ -72,5 +73,6 @@ object Mis {
       .join(inMis.withColumn("one", lit(1L)), Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("one"), lit(0L)).as("in_mis"))
     (res, r)
+    }
   }
 }

@@ -78,6 +78,10 @@ object Msf {
       .repartition(numPartitions, col("cu"))
       .transform(Lineage.cut(_, eager = true))
     var nActive = ce.count()
+    // scale-adaptive round parallelism (restored by withLoopConf's exit)
+    val nP = Lineage.adaptiveParallelism(nActive, numPartitions)
+    if (nP != numPartitions)
+      spark.conf.set("spark.sql.shuffle.partitions", nP.toString)
     var forest = spark.range(0).select(col("id").as("src"),
       col("id").as("dst"), col("id").as("weight"))
     var rounds = 0
@@ -161,7 +165,7 @@ object Msf {
         .select(col("cu"), col("cv"), col("m.pri").as("pri"),
           col("m.src").as("src"), col("m.dst").as("dst"),
           col("m.weight").as("weight"))
-        .repartition(numPartitions, col("cu"))
+        .repartition(nP, col("cu"))
         .transform(Lineage.cut(_))
       nActive = ce.count()
     }

@@ -34,6 +34,7 @@ object Paths {
           (col("agg").isNotNull &&
             (col("dist").isNull || col("agg") < col("dist"))).as("changed"))
     val isStationary = false
+    override val partitionCountInvariant = true // exact min combine
   }
 
   /** Converged single-source shortest paths. `edges` needs (src, dst
@@ -121,13 +122,15 @@ object Paths {
           .otherwise(lit(null).cast("double")).as("dist"))
     for (i <- 1 to k) {
       val msgs = e.join(dist.where(col("dist").isNotNull)
-          .withColumnRenamed("id", "src"), "src")
+          .withColumnRenamed("id", "src").hint("shuffle_hash"), "src")
         .groupBy(col("root"), col("dst").as("id"))
         .agg(min(col("dist") + col("w")).as("nd"))
-      dist = dist.join(msgs, Seq("root", "id"), "left_outer")
+      dist = dist.join(msgs.hint("shuffle_hash"), Seq("root", "id"),
+          "left_outer")
         .select(col("root"), col("id"),
           least(col("dist"), col("nd")).as("dist"))
-      if (i < k) dist = dist.transform(Lineage.cut(_, eager = true))
+      // lazy per-round cut: k rounds -> ONE pipelined job (fixedRounds r6)
+      if (i < k) dist = dist.transform(Lineage.cut(_))
     }
     (verts, dist)
   }
@@ -293,13 +296,15 @@ object Paths {
     val verts = GraphOps.vertices(e)
     var layer = verts.select(col("id"), lit(0L).as("layer"))
     for (i <- 1 to k) {
-      val msgs = e.join(layer.withColumnRenamed("id", "src"), "src")
+      val msgs = e.join(layer.withColumnRenamed("id", "src")
+          .hint("shuffle_hash"), "src")
         .groupBy(col("dst").as("id"))
         .agg((max(col("layer")) + 1L).as("nl"))
-      layer = layer.join(msgs, Seq("id"), "left_outer")
+      layer = layer.join(msgs.hint("shuffle_hash"), Seq("id"), "left_outer")
         .select(col("id"),
           greatest(col("layer"), coalesce(col("nl"), lit(0L))).as("layer"))
-      if (i < k) layer = layer.transform(Lineage.cut(_, eager = true))
+      // lazy per-round cut: k rounds -> ONE pipelined job (fixedRounds r6)
+      if (i < k) layer = layer.transform(Lineage.cut(_))
     }
     layer
   }
@@ -322,12 +327,17 @@ object Paths {
           .otherwise(lit(null).cast("double")).as("dist"))
     for (i <- 1 to k) {
       val msgs = e.join(dist.where(col("dist").isNotNull)
-          .withColumnRenamed("id", "src"), "src")
+          .withColumnRenamed("id", "src").hint("shuffle_hash"), "src")
         .select(col("dst").as("id"), (col("dist") + col("weight")).as("nd"))
         .groupBy("id").agg(min(col("nd")).as("nd"))
-      dist = dist.join(msgs, Seq("id"), "left_outer")
+      dist = dist.join(msgs.hint("shuffle_hash"), Seq("id"), "left_outer")
         .select(col("id"), least(col("dist"), col("nd")).as("dist"))
-      if (i < k) dist = dist.transform(Lineage.cut(_, eager = true))
+      // LAZY per-round cut: the plan still truncates at each round (both
+      // in-round references share one checkpointed RDD), but the k rounds
+      // materialize as ONE pipelined job at the caller's action instead of
+      // k separate jobs — the Superstep batch discipline (r6: the k eager
+      // cuts were the dominant cost on the 16-round double sweeps).
+      if (i < k) dist = dist.transform(Lineage.cut(_))
     }
     dist
   }
@@ -360,13 +370,14 @@ object Paths {
         .select(col("id").as("src"), col("sigma").as("fsig"))
       val msgs = e.join(frontier, "src")
         .groupBy(col("dst").as("id")).agg(sum(col("fsig")).as("nsig"))
-      state = state.join(msgs, Seq("id"), "left_outer")
+      state = state.join(msgs.hint("shuffle_hash"), Seq("id"), "left_outer")
         .select(col("id"),
           when(col("dist").isNotNull, col("dist"))
             .when(col("nsig").isNotNull, lit(i.toLong)).as("dist"),
           when(col("dist").isNotNull, col("sigma"))
             .otherwise(col("nsig")).as("sigma"))
-      if (i < k) state = state.transform(Lineage.cut(_, eager = true))
+      // lazy per-round cut: k rounds -> ONE pipelined job (fixedRounds r6)
+      if (i < k) state = state.transform(Lineage.cut(_))
     }
     state.where(col("dist").isNotNull).select("id", "dist", "sigma")
   }
@@ -402,9 +413,10 @@ object Paths {
           .withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("packed") + Shift).as("np"))
-      st = st.join(msgs, Seq("id"), "left_outer")
+      st = st.join(msgs.hint("shuffle_hash"), Seq("id"), "left_outer")
         .select(col("id"), least(col("packed"), col("np")).as("packed"))
-      if (i < k) st = st.transform(Lineage.cut(_, eager = true))
+      // lazy per-round cut: k rounds -> ONE pipelined job (fixedRounds r6)
+      if (i < k) st = st.transform(Lineage.cut(_))
     }
     st.where(col("packed").isNotNull)
       .select(col("id"),
@@ -471,9 +483,10 @@ object Paths {
     for (i <- 1 to k) {
       val msgs = e.join(st.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(min(col("p") + 1L).as("np"))
-      st = st.join(msgs, Seq("id"), "left_outer")
+      st = st.join(msgs.hint("shuffle_hash"), Seq("id"), "left_outer")
         .select(col("id"), least(col("p"), col("np")).as("p"))
-      if (i < k) st = st.transform(Lineage.cut(_, eager = true))
+      // lazy per-round cut: k rounds -> ONE pipelined job (fixedRounds r6)
+      if (i < k) st = st.transform(Lineage.cut(_))
     }
     val fin = st.select(col("id"), expr(s"p div ${Shift}L").as("root"),
         (expr(s"p % ${Shift}L") % 2L).as("par"))

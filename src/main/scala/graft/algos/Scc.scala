@@ -100,11 +100,16 @@ object Scc {
                       maxTrimRounds: Int, maxSweepRounds: Int,
                       trimContinueFrac: Double,
                       trimHardCap: Int): (DataFrame, Map[String, Int]) = {
-    val n = numPartitions
     var e = edges.select("src", "dst").where(col("src") =!= col("dst"))
       .distinct()
-      .repartition(n, col("src"))
+      .repartition(numPartitions, col("src"))
       .transform(Lineage.cut(_, eager = true))
+    // scale-adaptive round parallelism (guide §2): the loop's shuffles
+    // track the measured edge count, not the configured ceiling — restored
+    // by withLoopConf on exit
+    val n = Lineage.adaptiveParallelism(e.count(), numPartitions)
+    if (n != numPartitions)
+      spark.conf.set("spark.sql.shuffle.partitions", n.toString)
     var active = GraphOps.vertices(e).transform(Lineage.cut(_, eager = true))
     var nActive = active.count()
     var done = spark.range(0).select(col("id"), col("id").as("scc"))

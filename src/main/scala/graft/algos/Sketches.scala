@@ -56,10 +56,10 @@ object Sketches {
     var s = Lineage.cut(init)
     for (_ <- 1 to rounds) {
       val aggs = (0 until registers).map(j => expr(s"bit_or(r$j)").as(s"u$j"))
-      val upd = e.join(s, e("src") === s("id"))
+      val upd = e.join(s.hint("shuffle_hash"), e("src") === s("id"))
         .groupBy(e("dst").as("uid"))
         .agg(aggs.head, aggs.tail: _*)
-      val merged = s.join(upd, s("id") === upd("uid"), "left")
+      val merged = s.join(upd.hint("shuffle_hash"), s("id") === upd("uid"), "left")
         .select(col("id") +: (0 until registers).map(j =>
           (col(s"r$j").bitwiseOR(coalesce(col(s"u$j"), lit(0L))))
             .as(s"r$j")): _*)
@@ -101,10 +101,10 @@ object Sketches {
     var prof = roundRow(s, 0)
     for (t <- 1 to rounds) {
       val aggs = (0 until registers).map(j => expr(s"bit_or(r$j)").as(s"u$j"))
-      val upd = e.join(s, e("src") === s("id"))
+      val upd = e.join(s.hint("shuffle_hash"), e("src") === s("id"))
         .groupBy(e("dst").as("uid"))
         .agg(aggs.head, aggs.tail: _*)
-      val merged = s.join(upd, s("id") === upd("uid"), "left")
+      val merged = s.join(upd.hint("shuffle_hash"), s("id") === upd("uid"), "left")
         .select(col("id") +: (0 until registers).map(j =>
           (col(s"r$j").bitwiseOR(coalesce(col(s"u$j"), lit(0L))))
             .as(s"r$j")): _*)

@@ -37,16 +37,17 @@ object Spectral {
     var h = outd.select(col("id"), lit(1000000000000L).as("h"))
     var a: DataFrame = null
     for (i <- 1 to k) {
-      val hd = h.join(outd, "id")
+      val hd = h.join(outd.hint("shuffle_hash"), "id")
         .select(col("id").as("src"), expr("h div outdeg").as("hd"))
-      a = e.join(hd, "src")
+      a = e.join(hd.hint("shuffle_hash"), "src")
         .groupBy(col("dst").as("id")).agg(sum("hd").cast("long").as("a"))
-        .transform(Lineage.cut(_, eager = true))
-      val ad = a.join(ind, "id")
+        .transform(Lineage.cut(_))
+      val ad = a.join(ind.hint("shuffle_hash"), "id")
         .select(col("id").as("dst"), expr("a div indeg").as("ad"))
-      h = e.join(ad, "dst")
+      h = e.join(ad.hint("shuffle_hash"), "dst")
         .groupBy(col("src").as("id")).agg(sum("ad").cast("long").as("h"))
-      if (i < k) h = h.transform(Lineage.cut(_, eager = true))
+      // lazy per-round cuts: one pipelined job at the caller's action
+      if (i < k) h = h.transform(Lineage.cut(_))
     }
     h.select(col("id"), lit("hub").as("kind"), col("h").as("score"))
       .unionByName(
@@ -70,7 +71,8 @@ object Spectral {
     var x = e.select(col("src").as("id")).distinct()
       .select(col("id"), lit(1000000L).as("x"))
     for (i <- 1 to k) {
-      val y = e.join(x.withColumnRenamed("id", "src"), "src")
+      val y = e.join(x.withColumnRenamed("id", "src")
+          .hint("shuffle_hash"), "src")
         .groupBy(col("dst").as("id")).agg(sum("x").cast("long").as("y"))
       val m = y.agg(max("y").as("m"))
       x = y.crossJoin(broadcast(m))

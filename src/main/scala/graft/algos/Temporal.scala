@@ -38,7 +38,7 @@ object Temporal {
     val e = Lineage.cut(edges.select("src", "dst", "t"))
     var arr = Lineage.cut(seeds.select("id", "arrival"))
     for (_ <- 1 to rounds) {
-      val upd = e.join(arr, e("src") === arr("id"))
+      val upd = e.join(arr.hint("shuffle_hash"), e("src") === arr("id"))
         .where(col("t") >= col("arrival"))
         .groupBy(col("dst").as("uid")).agg(min(col("t")).as("na"))
       val merged = arr.join(upd, arr("id") === upd("uid"), "full_outer")

@@ -44,8 +44,8 @@ object Truss {
     val deg = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
-    val fwd = e.join(deg.toDF("src", "dsrc"), "src")
-      .join(deg.toDF("dst", "ddst"), "dst")
+    val fwd = e.join(deg.toDF("src", "dsrc").hint("shuffle_hash"), "src")
+      .join(deg.toDF("dst", "ddst").hint("shuffle_hash"), "dst")
     val srcFirst = col("dsrc") < col("ddst") ||
       (col("dsrc") === col("ddst") && col("src") < col("dst"))
     // materialized lazily: three plan legs below reference the oriented
@@ -56,9 +56,10 @@ object Truss {
       .transform(Lineage.cut(_))
     val e1 = o.select(col("src").as("a"), col("dst").as("b"))
     val e2 = o.select(col("src").as("b"), col("dst").as("c"))
-    val wedges = e1.join(e2, "b").select("a", "b", "c")
+    val wedges = e1.join(e2.hint("shuffle_hash"), "b").select("a", "b", "c")
     val closing = o.select(col("src").as("a"), col("dst").as("c"))
-    val tris = wedges.join(closing, Seq("a", "c"), "left_semi")
+    val tris = wedges.join(closing.hint("shuffle_hash"), Seq("a", "c"),
+      "left_semi")
     tris.select(explode(array(
         struct(least(col("a"), col("b")).as("src"),
           greatest(col("a"), col("b")).as("dst")),
@@ -77,9 +78,12 @@ object Truss {
   def converged(edges: DataFrame, k: Int,
                 maxRounds: Int = 100): (DataFrame, Int) = {
     require(k >= 3, s"k-truss needs k >= 3 (got $k)")
+    val spark = edges.sparkSession
     var e = GraphOps.orient(edges).transform(Lineage.cut(_, eager = true))
     var n = e.count()
-    var lastSupp = e.sparkSession.range(0)
+    val req = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    Lineage.withAdaptiveLoopConf(spark, n, req) { _ =>
+    var lastSupp = spark.range(0)
       .select(col("id").as("src"), col("id").as("dst"),
         col("id").as("support"))
     var r = 0
@@ -104,5 +108,6 @@ object Truss {
     // at the fixpoint the last support table was computed ON the surviving
     // set, so its ≥ k−2 rows are the final edges with final support
     (lastSupp.where(col("support") >= k - 2), r)
+    }
   }
 }

@@ -154,6 +154,21 @@ object Superstep {
     }
     val numVertices = state.count()
 
+    // Scale-adaptive loop parallelism for partition-count-invariant
+    // programs (exact min/max/count combines — identical results at any
+    // shuffle partition count; float-sum programs like PR keep the pinned
+    // count so their rounding trajectory stays bit-stable). The clamp
+    // only ever LOWERS the count, so cluster-scale runs are unaffected;
+    // a 4k-edge CC fixpoint loop stops paying 32 tasks/stage/round.
+    val (wPre, nL) =
+      if (vp.partitionCountInvariant) {
+        val pre = withW.transform(Lineage.cut(_, eager = true))
+        val a = Lineage.adaptiveParallelism(pre.count(), n)
+        if (a != n)
+          spark.conf.set("spark.sql.shuffle.partitions", a.toString)
+        (pre, a)
+      } else (withW, n)
+
     // --- one-time edge prep: pick ONE layout for the whole run ---
     val saltMode = cfg.hubTau.isDefined
     val gridMode = !saltMode && (cfg.gridSide.isDefined ||
@@ -164,28 +179,28 @@ object Superstep {
       if (saltMode) {
         val tau = cfg.hubTau.get
         val salted = graft.graph.GraphOps
-          .splitHubs(withW.withColumn("weight",
+          .splitHubs(wPre.withColumn("weight",
             if (vp.usesEdgeWeight) col("weight") else lit(1.0)), tau)
-          .repartition(n, col("src"), col("salt"))
+          .repartition(nL, col("src"), col("salt"))
           .sortWithinPartitions("src", "dst")
         (salted.transform(Lineage.cut(_, eager = true)), Seq("src", "salt"))
       } else if (gridMode) {
-        val tiled = withW
+        val tiled = wPre
           .withColumn("srcBlk", blkOf(col("src"), g))
           .withColumn("dstBlk", blkOf(col("dst"), g))
-          .repartition(n, col("srcBlk"), col("dstBlk"))
+          .repartition(nL, col("srcBlk"), col("dstBlk"))
           .sortWithinPartitions("src", "dst")
         (tiled.transform(Lineage.cut(_, eager = true)), Seq("srcBlk", "dstBlk", "src"))
       } else {
-        val plain = withW
-          .repartition(n, col("dst"))
+        val plain = wPre
+          .repartition(nL, col("dst"))
           .sortWithinPartitions("dst", "src")
         (plain.transform(Lineage.cut(_, eager = true)), Seq("src"))
       }
     // src → number of salt groups (1 for non-hubs); tiny unless pathological.
     // Only materialized when hub splitting is on.
     lazy val saltMap = eB.select("src", "nsalts").distinct()
-      .repartition(n, col("src")).transform(Lineage.cut(_, eager = true))
+      .repartition(nL, col("src")).transform(Lineage.cut(_, eager = true))
     val anyHubs = saltMode &&
       saltMap.where(col("nsalts") > 1).limit(1).count() > 0
     // Grid mode: src → the dst-blocks its edges actually touch (LA3 ships
@@ -203,7 +218,7 @@ object Superstep {
     val blkMap =
       if (prunedScatter)
         eB.groupBy("src").agg(collect_set(col("dstBlk")).as("dstBlks"))
-          .repartition(n, col("src")).transform(Lineage.cut(_, eager = true))
+          .repartition(nL, col("src")).transform(Lineage.cut(_, eager = true))
       else null
 
     var metrics = Vector.empty[Map[String, String]]

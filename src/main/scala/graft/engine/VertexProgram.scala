@@ -59,4 +59,13 @@ trait VertexProgram {
     * (non-stationary).
     */
   def residualExpr: Option[Column] = None
+
+  /** Whether the program's results are identical at ANY shuffle partition
+    * count — true for exact min/max/count combines (CC, BFS/SSSP), false
+    * for float sums (PR), whose summation order — and hence 6-dp rounding
+    * — the pinned count keeps bit-stable. Invariant programs opt in to the
+    * loop's scale-adaptive parallelism (guide §2: partitioning derives
+    * from measured input size, not a constant tuned for one box).
+    */
+  def partitionCountInvariant: Boolean = false
 }

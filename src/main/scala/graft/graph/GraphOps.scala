@@ -385,10 +385,14 @@ object GraphOps {
     */
   def neighborJaccardWeighted(edges: DataFrame, thresholdMicro: Long,
                               maxDeg: Long = Long.MaxValue): DataFrame = {
+    // self-loop filter AFTER the union so BOTH legs drop them (ADVICE r5:
+    // filtering only the forward leg would let a self-loop survive in one
+    // direction, skewing tot/wedge counts asymmetrically; current call
+    // sites pass canonical src<dst edges, so values are unchanged)
     val und = edges.select("src", "dst", "weight")
-      .where(col("src") =!= col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"),
         col("weight")))
+      .where(col("src") =!= col("dst"))
       .localCheckpoint(true)
     val tot = und.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("deg"), sum(col("weight")).as("tot"))

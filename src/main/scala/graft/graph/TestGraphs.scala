@@ -25,7 +25,7 @@ object TestGraphs {
     val li = table(spark, sfDir, "lineitem").select("l_orderkey", "l_partkey")
     val a = li.toDF("ok", "src")
     val b = li.toDF("ok", "dst")
-    a.join(b, Seq("ok"))
+    a.join(b.hint("shuffle_hash"), Seq("ok"))
       .where(col("src") < col("dst"))
       .groupBy("src", "dst")
       .agg(count(lit(1)).as("weight"))
@@ -47,7 +47,7 @@ object TestGraphs {
   def custPart(spark: SparkSession, sfDir: String): DataFrame = {
     val o = table(spark, sfDir, "orders").select("o_orderkey", "o_custkey")
     val li = table(spark, sfDir, "lineitem").select("l_orderkey", "l_partkey")
-    o.join(li, o("o_orderkey") === li("l_orderkey"))
+    o.hint("shuffle_hash").join(li, o("o_orderkey") === li("l_orderkey"))
       .select(col("o_custkey").as("src"),
               (col("l_partkey") + lit(1000000000L)).as("dst"))
       .groupBy("src", "dst")

@@ -56,11 +56,11 @@ class Wave26Spec extends SparkSpec {
     val got = EdgeStream.lateDropWindowCounts(df, 3, "1 hour")
       .orderBy("hour_bucket").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toVector
-    val kept = Vector((hb("2026-03-01 11:30:00"), "a", 1L))
-    assert(got == kept || got == Vector.empty, s"unexpected: $got")
-    info("boundary event (win end == filter wm) was " +
-      (if (got == kept) "KEPT (drop iff end < wm)"
-       else "DROPPED (drop iff end <= wm)"))
+    // the oracle twin encodes drop-at-equality (keeps only wend > wm), so
+    // the boundary event MUST be dropped — asserted, not just logged
+    // (ADVICE r5: an either-way accept left the boundary unverified)
+    assert(got == Vector.empty,
+      s"expected the end==wm window dropped (oracle: keep iff wend > wm): $got")
   }
 
   test("emit boundary: window with end == final wm") {
@@ -79,11 +79,10 @@ class Wave26Spec extends SparkSpec {
     info(s"emit-at-equality rows: $got")
     val h10 = java.sql.Timestamp.valueOf("2026-03-01 10:30:00")
       .getTime / 1000 / 3600
-    assert(got == Vector((h10, "a", 1L)) || got == Vector.empty,
-      s"unexpected: $got")
-    info(s"window with end == final wm was " +
-      (if (got.isEmpty) "HELD (emit only when end < wm)"
-       else "EMITTED (end <= wm emits)"))
+    // the oracle twin emits at end == final wm — asserted, not just
+    // logged (ADVICE r5)
+    assert(got == Vector((h10, "a", 1L)),
+      s"expected the end==final-wm window emitted (oracle: emit iff end <= wm): $got")
   }
 
   test("multi-seed PPR ≡ dense per-seed power iteration") {
