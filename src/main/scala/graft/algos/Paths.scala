@@ -116,23 +116,29 @@ object Paths {
       .select(col("id").as("root"))
     // dist travels as double either way; with integral edge weights every
     // value is integer-valued, so round(1e6/d) stays engine-exact
+    // frontier-restricted per (root, id) — the fixedRounds r6 discipline:
+    // identical distances (monotone min), frontier-sized round aggregates
     var dist = verts.crossJoin(broadcast(roots))
       .select(col("root"), col("id"),
         when(col("id") === col("root"), lit(0.0))
-          .otherwise(lit(null).cast("double")).as("dist"))
+          .otherwise(lit(null).cast("double")).as("dist"),
+        (col("id") === col("root")).as("chg"))
     for (i <- 1 to k) {
-      val msgs = e.join(dist.where(col("dist").isNotNull)
-          .withColumnRenamed("id", "src").hint("shuffle_hash"), "src")
+      val msgs = e.join(dist.where(col("chg"))
+          .select(col("root"), col("id").as("src"), col("dist"))
+          .hint("shuffle_hash"), "src")
         .groupBy(col("root"), col("dst").as("id"))
         .agg(min(col("dist") + col("w")).as("nd"))
       dist = dist.join(msgs.hint("shuffle_hash"), Seq("root", "id"),
           "left_outer")
         .select(col("root"), col("id"),
-          least(col("dist"), col("nd")).as("dist"))
+          least(col("dist"), col("nd")).as("dist"),
+          (col("nd").isNotNull &&
+            (col("dist").isNull || col("nd") < col("dist"))).as("chg"))
       // lazy per-round cut: k rounds -> ONE pipelined job (fixedRounds r6)
       if (i < k) dist = dist.transform(Lineage.cut(_))
     }
-    (verts, dist)
+    (verts, dist.select("root", "id", "dist"))
   }
 
   /** Double-sweep BFS diameter lower bound (the standard 2-BFS heuristic;
@@ -294,19 +300,25 @@ object Paths {
   def dagLayers(edges: DataFrame, k: Int): DataFrame = {
     val e = edges.select("src", "dst").transform(Lineage.cut(_, eager = true))
     val verts = GraphOps.vertices(e)
-    var layer = verts.select(col("id"), lit(0L).as("layer"))
+    // frontier-restricted (fixedRounds r6, max variant): a vertex whose
+    // layer did not grow last round re-sends nothing new — identical
+    // layers (monotone max), frontier-sized round aggregates
+    var layer = verts.select(col("id"), lit(0L).as("layer"),
+      lit(true).as("chg"))
     for (i <- 1 to k) {
-      val msgs = e.join(layer.withColumnRenamed("id", "src")
+      val msgs = e.join(layer.where(col("chg"))
+          .select(col("id").as("src"), col("layer"))
           .hint("shuffle_hash"), "src")
         .groupBy(col("dst").as("id"))
         .agg((max(col("layer")) + 1L).as("nl"))
       layer = layer.join(msgs.hint("shuffle_hash"), Seq("id"), "left_outer")
         .select(col("id"),
-          greatest(col("layer"), coalesce(col("nl"), lit(0L))).as("layer"))
+          greatest(col("layer"), coalesce(col("nl"), lit(0L))).as("layer"),
+          (col("nl").isNotNull && col("nl") > col("layer")).as("chg"))
       // lazy per-round cut: k rounds -> ONE pipelined job (fixedRounds r6)
       if (i < k) layer = layer.transform(Lineage.cut(_))
     }
-    layer
+    layer.select("id", "layer")
   }
 
   def fixedRounds(edges: DataFrame, source: DataFrame, k: Int,
@@ -321,17 +333,27 @@ object Paths {
       else edges.select(col("src"), col("dst"), lit(1.0).as("weight"))
     ).transform(Lineage.cut(_, eager = true))
     val verts = GraphOps.vertices(e)
+    // frontier-restricted min-plus (LA3 activity filtering, guide §2.3):
+    // only vertices whose distance strictly improved last round re-send —
+    // a non-improved vertex's messages were already absorbed, so the
+    // round-k distances are identical (monotone min), while the per-round
+    // aggregate input shrinks from |reached|-incident to
+    // |frontier|-incident edges.
     var dist = verts.crossJoin(broadcast(source.toDF("s0")))
       .select(col("id"),
         when(col("id") === col("s0"), lit(0.0))
-          .otherwise(lit(null).cast("double")).as("dist"))
+          .otherwise(lit(null).cast("double")).as("dist"),
+        (col("id") === col("s0")).as("chg"))
     for (i <- 1 to k) {
-      val msgs = e.join(dist.where(col("dist").isNotNull)
-          .withColumnRenamed("id", "src").hint("shuffle_hash"), "src")
+      val msgs = e.join(dist.where(col("chg"))
+          .select(col("id").as("src"), col("dist"))
+          .hint("shuffle_hash"), "src")
         .select(col("dst").as("id"), (col("dist") + col("weight")).as("nd"))
         .groupBy("id").agg(min(col("nd")).as("nd"))
       dist = dist.join(msgs.hint("shuffle_hash"), Seq("id"), "left_outer")
-        .select(col("id"), least(col("dist"), col("nd")).as("dist"))
+        .select(col("id"), least(col("dist"), col("nd")).as("dist"),
+          (col("nd").isNotNull &&
+            (col("dist").isNull || col("nd") < col("dist"))).as("chg"))
       // LAZY per-round cut: the plan still truncates at each round (both
       // in-round references share one checkpointed RDD), but the k rounds
       // materialize as ONE pipelined job at the caller's action instead of
@@ -339,7 +361,7 @@ object Paths {
       // cuts were the dominant cost on the 16-round double sweeps).
       if (i < k) dist = dist.transform(Lineage.cut(_))
     }
-    dist
+    dist.select("id", "dist")
   }
 
   /** Shortest-path σ counts within `k` hops of `source` — the forward
@@ -404,17 +426,22 @@ object Paths {
     val e = edges.select("src", "dst")
       .transform(Lineage.cut(_, eager = true))
     val verts = GraphOps.vertices(e)
+    // frontier-restricted (fixedRounds r6): identical packed minima
     var st = verts.select(col("id"),
       when(GraphOps.md5Prio(col("id").cast("string")) % seedMod === 0,
         col("id").cast("long")).otherwise(lit(null).cast("long"))
         .as("packed"))
+      .withColumn("chg", col("packed").isNotNull)
     for (i <- 1 to k) {
-      val msgs = e.join(st.where(col("packed").isNotNull)
-          .withColumnRenamed("id", "src"), "src")
+      val msgs = e.join(st.where(col("chg"))
+          .select(col("id").as("src"), col("packed"))
+          .hint("shuffle_hash"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("packed") + Shift).as("np"))
       st = st.join(msgs.hint("shuffle_hash"), Seq("id"), "left_outer")
-        .select(col("id"), least(col("packed"), col("np")).as("packed"))
+        .select(col("id"), least(col("packed"), col("np")).as("packed"),
+          (col("np").isNotNull &&
+            (col("packed").isNull || col("np") < col("packed"))).as("chg"))
       // lazy per-round cut: k rounds -> ONE pipelined job (fixedRounds r6)
       if (i < k) st = st.transform(Lineage.cut(_))
     }
@@ -478,13 +505,16 @@ object Paths {
       .transform(Lineage.cut(_, eager = true))
     val e = GraphOps.symmetrize(ce).where(col("src") =!= col("dst"))
       .transform(Lineage.cut(_, eager = true))
+    // frontier-restricted (fixedRounds r6): identical packed minima
     var st = GraphOps.vertices(e)
-      .select(col("id"), (col("id") * Shift).as("p"))
+      .select(col("id"), (col("id") * Shift).as("p"), lit(true).as("chg"))
     for (i <- 1 to k) {
-      val msgs = e.join(st.withColumnRenamed("id", "src"), "src")
+      val msgs = e.join(st.where(col("chg")).select(col("id").as("src"),
+          col("p")).hint("shuffle_hash"), "src")
         .groupBy(col("dst").as("id")).agg(min(col("p") + 1L).as("np"))
       st = st.join(msgs.hint("shuffle_hash"), Seq("id"), "left_outer")
-        .select(col("id"), least(col("p"), col("np")).as("p"))
+        .select(col("id"), least(col("p"), col("np")).as("p"),
+          (col("np").isNotNull && col("np") < col("p")).as("chg"))
       // lazy per-round cut: k rounds -> ONE pipelined job (fixedRounds r6)
       if (i < k) st = st.transform(Lineage.cut(_))
     }

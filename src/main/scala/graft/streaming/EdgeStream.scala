@@ -71,7 +71,8 @@ object EdgeStream {
         .select((unix_timestamp(col("window.start")) / 3600).cast("long")
             .as("hour_bucket"),
           col("event_type"), col("n"), col("cents"))
-      val name = s"graft_stream_window_${runCounter.incrementAndGet()}"
+      StreamTuning.withReplayParallelism(spark, tmp) {
+val name = s"graft_stream_window_${runCounter.incrementAndGet()}"
       val q = agg.writeStream.format("memory").queryName(name)
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -82,6 +83,7 @@ object EdgeStream {
       val out = spark.table(name).localCheckpoint(true)
       spark.catalog.dropTempView(name)
       out
+      }
     } finally {
       import java.nio.file.{Files => F, Path}
       val walk = F.walk(Path.of(tmp))
@@ -123,7 +125,8 @@ object EdgeStream {
       // fixed synthetic ts: the counter ignores event time (no watermark)
       val ev = stream.select(col("src"), col("dst"),
         lit(new Timestamp(0L)).as("ts")).as[EdgeEvent]
-      val name = s"graft_stream_deg_${runCounter.incrementAndGet()}"
+      StreamTuning.withReplayParallelism(spark, tmp) {
+val name = s"graft_stream_deg_${runCounter.incrementAndGet()}"
       val q = runningOutDegrees(ev).toDF()
         .writeStream.format("memory").queryName(name)
         .outputMode("update")
@@ -135,6 +138,7 @@ object EdgeStream {
         .localCheckpoint(true)
       spark.catalog.dropTempView(name)
       out
+      }
     } finally {
       import java.nio.file.{Files => F, Path}
       val walk = F.walk(Path.of(tmp))
@@ -173,7 +177,8 @@ object EdgeStream {
       val agg = stream.join(dimSt, Seq("src"))
         .groupBy("attr")
         .agg(count(lit(1)).as("n_edges"), sum(col("weight")).as("wsum"))
-      val name = s"graft_stream_enrich_${runCounter.incrementAndGet()}"
+      StreamTuning.withReplayParallelism(spark, tmp) {
+val name = s"graft_stream_enrich_${runCounter.incrementAndGet()}"
       val q = agg.writeStream.format("memory").queryName(name)
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -182,6 +187,7 @@ object EdgeStream {
       val out = spark.table(name).localCheckpoint(true)
       spark.catalog.dropTempView(name)
       out
+      }
     } finally {
       import java.nio.file.{Files => F, Path}
       val walk = F.walk(Path.of(tmp))
@@ -220,7 +226,8 @@ object EdgeStream {
       var labels = spark.range(0)
         .select(col("id"), col("id").as("component"))
       val cfg = graft.engine.SuperstepConfig(numPartitions = numPartitions)
-      val q = stream.writeStream
+      StreamTuning.withReplayParallelism(spark, tmp) {
+val q = stream.writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
           labels = graft.algos.ConnectedComponents
             .incremental(spark, labels, batch, cfg)
@@ -231,6 +238,7 @@ object EdgeStream {
         .start()
       q.awaitTermination()
       labels
+      }
     } finally {
       import java.nio.file.{Files => F, Path}
       val walk = F.walk(Path.of(tmp))
@@ -265,7 +273,8 @@ object EdgeStream {
       val agg = stream.groupBy(col("dst").as("id"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("id").asc).limit(k)
-      val name = s"graft_stream_topk_${runCounter.incrementAndGet()}"
+      StreamTuning.withReplayParallelism(spark, tmp) {
+val name = s"graft_stream_topk_${runCounter.incrementAndGet()}"
       val q = agg.writeStream.format("memory").queryName(name)
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -274,6 +283,7 @@ object EdgeStream {
       val out = spark.table(name).localCheckpoint(true)
       spark.catalog.dropTempView(name)
       out
+      }
     } finally {
       import java.nio.file.{Files => F, Path}
       val walk = F.walk(Path.of(tmp))
@@ -335,7 +345,8 @@ object EdgeStream {
         .select((unix_timestamp(col("window.start")) / 3600).cast("long")
             .as("hour_bucket"),
           col("event_type"), col("n"))
-      val name = s"graft_stream_late_${runCounter.incrementAndGet()}"
+      StreamTuning.withReplayParallelism(spark, s"$tmp/b*") {
+val name = s"graft_stream_late_${runCounter.incrementAndGet()}"
       val q = agg.writeStream.format("memory").queryName(name)
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -344,6 +355,7 @@ object EdgeStream {
       val out = spark.table(name).localCheckpoint(true)
       spark.catalog.dropTempView(name)
       out
+      }
     } finally {
       import java.nio.file.{Files => F, Path}
       val walk = F.walk(Path.of(tmp))
@@ -396,7 +408,8 @@ object EdgeStream {
       val joined = side("1").join(side("2"),
         expr("u1 = u2 AND ts2 > ts1 AND ts2 <= ts1 + interval 1 hour"))
         .select(col("t1"), col("t2"))
-      val name = s"graft_stream_ssj_${runCounter.incrementAndGet()}"
+      StreamTuning.withReplayParallelism(spark, s"$tmp/b*") {
+val name = s"graft_stream_ssj_${runCounter.incrementAndGet()}"
       val q = joined.writeStream.format("memory").queryName(name)
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -407,6 +420,7 @@ object EdgeStream {
         .localCheckpoint(true)
       spark.catalog.dropTempView(name)
       out
+      }
     } finally {
       import java.nio.file.{Files => F, Path}
       val walk = F.walk(Path.of(tmp))
@@ -451,7 +465,8 @@ object EdgeStream {
         .option("maxFilesPerTrigger", 1).parquet(s"$tmp/b*")
         .withWatermark("ts", delay)
         .dropDuplicatesWithinWatermark("event_id")
-      val name = s"graft_stream_wmdedup_${runCounter.incrementAndGet()}"
+      StreamTuning.withReplayParallelism(spark, s"$tmp/b*") {
+val name = s"graft_stream_wmdedup_${runCounter.incrementAndGet()}"
       val q = stream.writeStream.format("memory").queryName(name)
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -462,6 +477,7 @@ object EdgeStream {
         .localCheckpoint(true)
       spark.catalog.dropTempView(name)
       out
+      }
     } finally {
       import java.nio.file.{Files => F, Path}
       val walk = F.walk(Path.of(tmp))

@@ -115,7 +115,8 @@ object SessionStream {
         .select(col("user_id"),
           expr("unix_micros(session_window.start)").as("session_start_us"),
           col("n_events"), col("cents"))
-      val name = s"graft_stream_sessions_${runCounter.incrementAndGet()}"
+      StreamTuning.withReplayParallelism(spark, streamDir.toString) {
+val name = s"graft_stream_sessions_${runCounter.incrementAndGet()}"
       val q = agg.writeStream.format("memory").queryName(name)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
@@ -126,6 +127,7 @@ object SessionStream {
         .localCheckpoint(true)
       spark.catalog.dropTempView(name)
       out
+      }
     } finally {
       val walk = Files.walk(tmp)
       try walk.sorted(java.util.Comparator.reverseOrder[Path]())

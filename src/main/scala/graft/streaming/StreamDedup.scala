@@ -113,6 +113,7 @@ object StreamDedup {
           org.apache.spark.sql.types.StringType)))
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(tmp)
+      StreamTuning.withReplayParallelism(spark, tmp) {
       val q = stream.writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
           graft.dedup.Dedup.minhashSignatures(
@@ -126,6 +127,7 @@ object StreamDedup {
         .start()
       q.awaitTermination()
       spark.read.parquet(outDir).localCheckpoint(true)
+      }
     } finally {
       rmTree(tmp)
       rmTree(outDir)
@@ -191,6 +193,7 @@ object StreamDedup {
         .groupBy("__hx", "__hm")
         .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
         .select("keep_id", "dup_cnt")
+      StreamTuning.withReplayParallelism(spark, tmp) {
       val name = s"graft_stream_exact_${runCounter.incrementAndGet()}"
       val q = agg.writeStream.format("memory").queryName(name)
         .outputMode("complete")
@@ -204,6 +207,7 @@ object StreamDedup {
       val out = spark.table(name).localCheckpoint(true)
       spark.catalog.dropTempView(name)
       out
+      }
     } finally {
       import java.nio.file.{Files => F, Path}
       val walk = F.walk(Path.of(tmp))

@@ -101,7 +101,8 @@ object TransitionStream {
         StructField("event_type", StringType)))
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
-      val name = s"graft_stream_trans_${runCounter.incrementAndGet()}"
+      StreamTuning.withReplayParallelism(spark, streamDir.toString) {
+val name = s"graft_stream_trans_${runCounter.incrementAndGet()}"
       val q = transitionPairs(stream.as[Ev]).toDF()
         .writeStream.format("memory").queryName(name)
         .outputMode("update")
@@ -114,6 +115,7 @@ object TransitionStream {
         .localCheckpoint(true)
       spark.catalog.dropTempView(name)
       out
+      }
     } finally {
       val walk = Files.walk(tmp)
       try walk.sorted(java.util.Comparator.reverseOrder[Path]())
