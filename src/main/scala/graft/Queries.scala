@@ -1273,7 +1273,7 @@ object Queries {
     // (deterministic (deg desc, id) tie-break), re-run CC over the
     // remainder, report component census ---------------------------------
     "hub_attack" -> ((s, dir) =>
-      ConnectedComponents.hubAttackCensus(s, und(s, dir), 50, cfg(s))),
+      ConnectedComponents.hubAttackCensus(s, undM(s, dir), 50, cfg(s))),
 
     // --- wedge-sampling triangle estimate, md5-deterministic 1/16 sample:
     // the sampled/closed counts are exact (the oracle gate), the estimator

@@ -152,12 +152,13 @@ object ConnectedComponents {
     */
   def incremental(spark: SparkSession, labels: DataFrame,
                   deltaEdges: DataFrame, cfg: SuperstepConfig): DataFrame = {
+    // LAZY cuts (r6): stars()'s first signature action materializes lab,
+    // delta and compEdges in ONE job instead of three eager round-trips —
+    // stream_cc pays this prep per micro-batch fold
     val lab = labels.select(col("id"), col("component"))
-      .transform(Lineage.cut(_, eager = true))
+      .transform(Lineage.cut(_))
     val delta = GraphOps.simplify(deltaEdges.select("src", "dst"))
-      .transform(Lineage.cut(_, eager = true))
-    // materialized: stars() runs several actions (signature checks, round
-    // materializations) that would otherwise re-derive the delta joins
+      .transform(Lineage.cut(_))
     val compEdges = delta
       .join(lab.select(col("id").as("src"), col("component").as("csrc")),
         Seq("src"), "left_outer")
@@ -167,7 +168,7 @@ object ConnectedComponents {
         coalesce(col("cdst"), col("dst")).as("dst"))
       .where(col("src") =!= col("dst"))
       .distinct()
-      .transform(Lineage.cut(_, eager = true))
+      .transform(Lineage.cut(_))
     val merged = stars(spark, compEdges, cfg.numPartitions)._1
       .select(col("id").as("component"), col("component").as("newcomp"))
     val newVerts = GraphOps.vertices(delta)

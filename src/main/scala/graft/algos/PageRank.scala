@@ -239,7 +239,11 @@ object PageRank {
                                k: Int): DataFrame = {
     val e = edges.select("src", "dst")
     val out = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // materialized once (r6): the k-round lazy composition references the
+    // degree-tagged edge table per round and exchange reuse does not
+    // dedupe across the unrolled plan
     val eDeg = e.join(out.hint("shuffle_hash"), "src")
+      .transform(Lineage.cut(_, eager = true))
     val seeds = GraphOps.vertices(e).where(seedPred(col("id")))
       .select(col("id").as("seed"))
     val base = seeds.select(col("seed"), col("seed").as("id"),
