@@ -205,7 +205,10 @@ object PageRank {
     val e = edges.select("src", "dst")
     val out = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val verts = GraphOps.vertices(e)
+    // materialized once (r6): exchange reuse does not dedupe the tagged
+    // edge table across the unrolled rounds
     val eDeg = e.join(out.hint("shuffle_hash"), "src")
+      .transform(Lineage.cut(_, eager = true))
     def tele(c: Column): Column =
       when(sourcePred(c), lit(Teleport)).otherwise(lit(0.0))
     var rank = verts.select(col("id"),
@@ -242,6 +245,8 @@ object PageRank {
     // materialized once (r6): the k-round lazy composition references the
     // degree-tagged edge table per round and exchange reuse does not
     // dedupe across the unrolled plan
+    // materialized once (r6): exchange reuse does not dedupe the tagged
+    // edge table across the unrolled rounds
     val eDeg = e.join(out.hint("shuffle_hash"), "src")
       .transform(Lineage.cut(_, eager = true))
     val seeds = GraphOps.vertices(e).where(seedPred(col("id")))
@@ -272,7 +277,10 @@ object PageRank {
     val e = edges.select("src", "dst")
     val out = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val verts = GraphOps.vertices(e)
+    // materialized once (r6): exchange reuse does not dedupe the tagged
+    // edge table across the unrolled rounds
     val eDeg = e.join(out.hint("shuffle_hash"), "src")
+      .transform(Lineage.cut(_, eager = true))
     var rank = verts.select(col("id"), lit(1.0).as("rank"))
     for (_ <- 1 to k) {
       val msgs = eDeg.join(rank.withColumnRenamed("id", "src")
@@ -302,7 +310,10 @@ object PageRank {
       col("weight").cast("double").as("w"))
     val out = e.groupBy("src").agg(sum(col("w")).as("wout"))
     val verts = GraphOps.vertices(e)
+    // materialized once (r6): exchange reuse does not dedupe the tagged
+    // edge table across the unrolled rounds
     val eDeg = e.join(out.hint("shuffle_hash"), "src")
+      .transform(Lineage.cut(_, eager = true))
     var rank = verts.select(col("id"), lit(1.0).as("rank"))
     for (_ <- 1 to k) {
       val msgs = eDeg.join(rank.withColumnRenamed("id", "src")
