@@ -150,12 +150,13 @@ object Queries {
     // --- the hub/skew salt layout under the hard oracle gate (G7): same
     // 5-step trajectory as pr5, forced through hubTau=16 so hub adjacency
     // splits into salt groups, the frontier replicates across salts, and
-    // the salted shuffled-hash join runs (batchSize=2 disables the
-    // broadcast shortcut) — the skew path is pinned to DuckDB.
+    // the salted shuffled-hash join runs (batchSize>1 disables the
+    // broadcast shortcut; 5 = one action for the whole fixed-5 unroll —
+    // with tol=0 the trajectory is identical at any batch size, r6).
     "pr5_hubsplit" -> ((s, dir) =>
       PageRank.run(s, undM(s, dir),
         cfg(s).copy(maxIter = 5, tol = 0.0, hubTau = Some(16L),
-          batchSize = 2))
+          batchSize = 5))
         .state.select(col("id"), round(col("rank"), 6).as("pr"))
         .orderBy("id")),
 
@@ -344,7 +345,7 @@ object Queries {
     "nearest_seed8" -> ((s, dir) => {
       val cpf = TestGraphs.copurchase(s, dir)
         .where(col("weight") >= 2).select("src", "dst")
-      Paths.nearestSeeds(GraphOps.symmetrize(cpf), 8, 50L)
+      Paths.nearestSeeds(GraphOps.symmetrizeOriented(cpf), 8, 50L)
         .orderBy("id")
     }),
 
@@ -360,7 +361,7 @@ object Queries {
     // same-brand parts co-purchase?) — the exact-rational modularity
     // machinery over a metadata labeling instead of a computed one ---------
     "modularity_brand" -> ((s, dir) => {
-      val e = GraphOps.symmetrize(
+      val e = GraphOps.symmetrizeOriented(
           TestGraphs.copurchase(s, dir).select("src", "dst"))
         .where(col("src") =!= col("dst")).localCheckpoint(true)
       Community.modularity(e,
@@ -861,7 +862,7 @@ object Queries {
     // generator shape): 4 hops from every id≡0 (mod 20) vertex of the
     // weight≥2 undirected graph — the trajectory replays exactly in SQL --
     "walks4" -> ((s, dir) => {
-      val e = GraphOps.symmetrize(
+      val e = GraphOps.symmetrizeOriented(
           TestGraphs.copurchase(s, dir).where(col("weight") >= 2)
             .select("src", "dst"))
         .where(col("src") =!= col("dst")).localCheckpoint(true)
@@ -874,7 +875,7 @@ object Queries {
     // communities — a trivial gate), reported as the exact rational
     // (q_num, q_den) so no float crosses the oracle ------------------------
     "modularity_lp5" -> ((s, dir) => {
-      val e = GraphOps.symmetrize(
+      val e = GraphOps.symmetrizeOriented(
           TestGraphs.copurchase(s, dir).where(col("weight") >= 2)
             .select("src", "dst"))
         .where(col("src") =!= col("dst")).localCheckpoint(true)
@@ -1347,7 +1348,7 @@ object Queries {
     // rounds ≤ ⌈log₂ n⌉ ----------------------------------------------------
     "densest" -> ((s, dir) =>
       graft.algos.Densest.peelProfile(s,
-        GraphOps.symmetrize(TestGraphs.copurchase(s, dir)
+        GraphOps.symmetrizeOriented(TestGraphs.copurchase(s, dir)
           .where(col("weight") >= 2).select("src", "dst")),
         cfg(s).numPartitions).orderBy("round")),
 
@@ -1442,7 +1443,7 @@ object Queries {
       import org.apache.spark.sql.expressions.Window
       // weight≥2 graph: LP on the dense full graph collapses to ONE
       // community (measured at sf0.01) — the sparse graph keeps real ones
-      val e = GraphOps.symmetrize(TestGraphs.copurchase(s, dir)
+      val e = GraphOps.symmetrizeOriented(TestGraphs.copurchase(s, dir)
         .where(col("weight") >= 2).select("src", "dst"))
         .localCheckpoint(true)
       val labels = LabelPropagation.fixedRounds(e, 5, allIn = true)
@@ -1553,7 +1554,7 @@ object Queries {
     "ego_density" -> ((s, dir) => {
       val cpf = TestGraphs.copurchase(s, dir).where(col("weight") >= 2)
         .select("src", "dst").localCheckpoint(true)
-      val und2 = GraphOps.symmetrize(cpf)
+      val und2 = GraphOps.symmetrizeOriented(cpf)
       val deg = und2.groupBy(col("src").as("id"))
         .agg(count(lit(1)).as("deg"))
       val hubs = deg.orderBy(col("deg").desc, col("id")).limit(8)
@@ -1579,7 +1580,7 @@ object Queries {
     // fingerprinting / structural-role primitive; sort_array makes the
     // aggregate order-insensitive so the hash is shuffle-stable -----------
     "wl3" -> ((s, dir) => {
-      val e = GraphOps.symmetrize(TestGraphs.copurchase(s, dir)
+      val e = GraphOps.symmetrizeOriented(TestGraphs.copurchase(s, dir)
         .where(col("weight") >= 2).select("src", "dst"))
         .localCheckpoint(true)
       val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
@@ -1976,7 +1977,7 @@ object Queries {
       // sf0.1 (measured) for the same ranking-quality story
       val cp = TestGraphs.copurchase(s, dir).where(col("weight") >= 2)
         .select("src", "dst")
-      val und2 = GraphOps.symmetrize(cp).where(col("src") =!= col("dst"))
+      val und2 = GraphOps.symmetrizeOriented(cp).where(col("src") =!= col("dst"))
         .localCheckpoint(true)
       val deg = und2.groupBy(col("src").as("w"))
         .agg(count(lit(1)).as("degw"))
@@ -2194,7 +2195,7 @@ object Queries {
     "lp_converged" -> ((s, dir) => {
       val cpf = TestGraphs.copurchase(s, dir)
         .where(col("weight") >= 2).select("src", "dst")
-      val und = GraphOps.symmetrize(cpf).localCheckpoint(true)
+      val und = GraphOps.symmetrizeOriented(cpf).localCheckpoint(true)
       LabelPropagation.run(s, und, maxRounds = 30,
         numPartitions =
           s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
@@ -2260,7 +2261,7 @@ object Queries {
     "betweenness8" -> ((s, dir) => {
       val cpf = TestGraphs.copurchase(s, dir)
         .where(col("weight") >= 2).select("src", "dst")
-      val undE = GraphOps.symmetrize(cpf).localCheckpoint(true)
+      val undE = GraphOps.symmetrizeOriented(cpf).localCheckpoint(true)
       Betweenness.run(s, undE,
         Betweenness.sampledSources(GraphOps.vertices(undE), 8),
         numPartitions =

@@ -71,9 +71,13 @@ object Spectral {
     var x = e.select(col("src").as("id")).distinct()
       .select(col("id"), lit(1000000L).as("x"))
     for (i <- 1 to k) {
+      // lazy cut: y is referenced twice (max-normalizer build + output
+      // projection) — uncut, the broadcast build re-executed the round's
+      // join+agg a second time every round (r6; the eigen4 2× join)
       val y = e.join(x.withColumnRenamed("id", "src")
           .hint("shuffle_hash"), "src")
         .groupBy(col("dst").as("id")).agg(sum("x").cast("long").as("y"))
+        .transform(Lineage.cut(_))
       val m = y.agg(max("y").as("m"))
       x = y.crossJoin(broadcast(m))
         .select(col("id"), expr("(y * 1000000) div m").as("x"))

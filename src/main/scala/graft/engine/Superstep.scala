@@ -305,7 +305,20 @@ object Superstep {
       val t0 = System.nanoTime()
       val inner = math.min(effectiveBatch, cfg.maxIter - step)
       var newState = state
-      for (_ <- 1 to inner) newState = superstep(newState)
+      // LAZY per-superstep cut inside a batch: each superstep references its
+      // input TWICE (frontier projection + apply join), so a lazily-composed
+      // batch of k supersteps otherwise carries ~2^k copies of the earlier
+      // supersteps' subtrees — the duplicated probe pipelines re-execute even
+      // where ReuseExchange dedupes the shuffles (the fixedRounds r6
+      // finding). The cut makes both references share ONE checkpointed RDD;
+      // the whole batch still materializes as a single pipelined job at the
+      // batch-boundary action below. Values are unchanged: the cut preserves
+      // partitioning and the cached rows are exactly what recomputation
+      // would produce (AQE off, pinned partition count).
+      for (j <- 1 to inner) {
+        newState = superstep(newState)
+        if (j < inner) newState = newState.transform(Lineage.cut(_))
+      }
       val stepAfter = step + inner
 
       // Materialize once per batch: durable snapshot (Iceberg-shaped) or

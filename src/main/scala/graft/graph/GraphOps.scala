@@ -63,6 +63,18 @@ object GraphOps {
     e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
   }
 
+  /** [[symmetrize]] for inputs that are PROVABLY a simple oriented edge set
+    * (unique (src, dst) pairs with src < dst — e.g. any `groupBy(src, dst)`
+    * output of an oriented derivation): the two union legs are then disjoint
+    * (src < dst vs src > dst, no self-loops) and each internally unique, so
+    * the dedup exchange `symmetrize` pays is a provable no-op and is
+    * skipped. Same rows, one full |2E|-row shuffle less.
+    */
+  def symmetrizeOriented(edges: DataFrame): DataFrame = {
+    val e = edges.select("src", "dst")
+    e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
   /** Orient each undirected edge as (min, max); drops self loops. Input may
     * be directed or undirected; output is the canonical simple oriented
     * edge set used by triangle counting (SURVEY.md §2.4 A4).

@@ -35,10 +35,11 @@ object TestGraphs {
     * PR/CC/LP; SURVEY.md §2.8 union/symmetrize). Weight dropped — the
     * symmetric graph is simple/unweighted.
     */
-  def copurchaseUndirected(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = copurchase(spark, sfDir).select("src", "dst")
-    e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
-  }
+  def copurchaseUndirected(spark: SparkSession, sfDir: String): DataFrame =
+    // copurchase's groupBy output is unique oriented (src < dst) pairs, so
+    // the symmetrized union is already distinct — the dedup shuffle the
+    // generic symmetrize pays would be a no-op (r6, guide §2.1).
+    GraphOps.symmetrizeOriented(copurchase(spark, sfDir))
 
   /** Bipartite customer → part edges via orders ⋈ lineitem (repo→path
     * analog, SURVEY.md §2.2 G8a). Part ids offset by 10^9 to keep the two
