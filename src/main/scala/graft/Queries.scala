@@ -485,22 +485,26 @@ object Queries {
 
     // --- triangle count (A4) ----------------------------------------------
     "tc" -> ((s, dir) =>
-      TriangleCount.count(TestGraphs.copurchase(s, dir))),
+      TriangleCount.count(TestGraphs.copurchase(s, dir),
+        canonicalInput = true)),
 
     "tc_pervertex" -> ((s, dir) =>
-      TriangleCount.perVertex(TestGraphs.copurchase(s, dir)).orderBy("id")),
+      TriangleCount.perVertex(TestGraphs.copurchase(s, dir),
+        canonicalInput = true).orderBy("id")),
 
     // --- global 4-clique count (K4 — the next motif up from triangles;
     // orientation-invariant, so Spark's degree orientation and the
     // oracle's id orientation agree on the count) --------------------------
     "kclique4" -> ((s, dir) =>
-      TriangleCount.fourCliques(TestGraphs.copurchase(s, dir))),
+      TriangleCount.fourCliques(TestGraphs.copurchase(s, dir),
+        canonicalInput = true)),
 
     // Local clustering coefficient in exact integer micro-units
     // (floor(2e6·tri/deg·(deg−1)), 0 when deg<2) — Spark `div` ≡ DuckDB
     // `//` on non-negative BIGINTs, so the twin is float-free.
     "lcc" -> ((s, dir) =>
-      TriangleCount.localClustering(TestGraphs.copurchase(s, dir))
+      TriangleCount.localClustering(TestGraphs.copurchase(s, dir),
+          canonicalInput = true)
         .orderBy("id")),
 
     // --- BFS / SSSP (A5): 5 unrolled min-plus rounds ----------------------
@@ -1281,7 +1285,8 @@ object Queries {
     // is the 100 TB-scale triangle path -----------------------------------
     "tc_sampled" -> ((s, dir) =>
       TriangleCount.sampledCount(
-        TestGraphs.copurchase(s, dir).select("src", "dst"), 16)),
+        TestGraphs.copurchase(s, dir).select("src", "dst"), 16,
+        canonicalInput = true)),
 
     // --- second-order event-type transitions (the trigram Markov table):
     // two leads over ONE user-partitioned window --------------------------
@@ -1355,7 +1360,8 @@ object Queries {
     // --- signed-triangle structural balance census: md5-parity edge
     // signs, balanced ⇔ even number of negative edges; one exact row ------
     "balance_tri" -> ((s, dir) =>
-      TriangleCount.signedBalance(TestGraphs.copurchase(s, dir))),
+      TriangleCount.signedBalance(TestGraphs.copurchase(s, dir),
+        canonicalInput = true)),
 
     // --- Markov stationary distribution of the event-type transition
     // chain: 4 power-iteration steps in exact integer micro-units ---------
@@ -1808,7 +1814,8 @@ object Queries {
     // hub-and-spoke neighborhoods); per-vertex micros are already exact,
     // the bucket mean is their floored integer average --------------------
     "lcc_by_degree" -> ((s, dir) =>
-      TriangleCount.localClustering(TestGraphs.copurchase(s, dir))
+      TriangleCount.localClustering(TestGraphs.copurchase(s, dir),
+          canonicalInput = true)
         .groupBy(length(bin(col("deg"))).cast("long").as("bucket"))
         .agg(count(lit(1)).as("n_vertices"),
           expr("sum(lcc_micro) div count(1)").as("avg_lcc_micro"))

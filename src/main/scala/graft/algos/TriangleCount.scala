@@ -25,9 +25,17 @@ object TriangleCount {
 
   /** Canonical simple edges oriented low→high in the (degree, id) total
     * order, materialized. Degree = undirected simple-graph degree.
+    * `canonicalInput = true` asserts the caller's edges are ALREADY a
+    * canonical simple oriented set (unique src < dst, no self-loops — e.g.
+    * the co-purchase derivation's groupBy output), skipping the no-op
+    * orient+dedup shuffle over the full edge set (r6, guide §2.1).
     */
-  private def orientedByDegree(edges: DataFrame): DataFrame = {
-    val und = GraphOps.orient(edges).transform(Lineage.cut(_, eager = true))
+  private def orientedByDegree(edges: DataFrame,
+                               canonicalInput: Boolean = false): DataFrame = {
+    val und = (
+      if (canonicalInput) edges.select("src", "dst")
+      else GraphOps.orient(edges)
+    ).transform(Lineage.cut(_, eager = true))
     val deg = und.select(col("src").as("id"))
       .union(und.select(col("dst").as("id")))
       .groupBy("id")
@@ -44,8 +52,8 @@ object TriangleCount {
   }
 
   /** Global triangle count; single row (triangles: long). */
-  def count(edges: DataFrame): DataFrame = {
-    val e = orientedByDegree(edges)
+  def count(edges: DataFrame, canonicalInput: Boolean = false): DataFrame = {
+    val e = orientedByDegree(edges, canonicalInput)
     val e1 = e.select(col("src").as("a"), col("dst").as("b"))
     val e2 = e.select(col("src").as("b"), col("dst").as("c"))
     val wedges = e1.join(e2.hint("shuffle_hash"), "b").select("a", "c")
@@ -57,8 +65,8 @@ object TriangleCount {
   /** Per-vertex triangle participation counts (id, tri_cnt) — each closed
     * wedge credits all three corners.
     */
-  def perVertex(edges: DataFrame): DataFrame = {
-    val e = orientedByDegree(edges)
+  def perVertex(edges: DataFrame, canonicalInput: Boolean = false): DataFrame = {
+    val e = orientedByDegree(edges, canonicalInput)
     val e1 = e.select(col("src").as("a"), col("dst").as("b"))
     val e2 = e.select(col("src").as("b"), col("dst").as("c"))
     val wedges = e1.join(e2.hint("shuffle_hash"), "b").select("a", "b", "c")
@@ -81,8 +89,8 @@ object TriangleCount {
     * [[perVertex]] plan — degree and triangle aggregates both shuffle on
     * vertex id, and the final assembly is a same-key left join.
     */
-  def localClustering(edges: DataFrame): DataFrame = {
-    val e = orientedByDegree(edges)
+  def localClustering(edges: DataFrame, canonicalInput: Boolean = false): DataFrame = {
+    val e = orientedByDegree(edges, canonicalInput)
     val deg = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .groupBy("id")
@@ -174,8 +182,8 @@ object TriangleCount {
     * joins, so no payload beyond the 4 ids ever shuffles. One row
     * (cliques4: long).
     */
-  def fourCliques(edges: DataFrame): DataFrame = {
-    val e = orientedByDegree(edges)
+  def fourCliques(edges: DataFrame, canonicalInput: Boolean = false): DataFrame = {
+    val e = orientedByDegree(edges, canonicalInput)
     val e1 = e.select(col("src").as("a"), col("dst").as("b"))
     val e2 = e.select(col("src").as("b"), col("dst").as("c"))
     val wedges = e1.join(e2.hint("shuffle_hash"), "b").select("a", "b", "c")
@@ -267,9 +275,10 @@ object TriangleCount {
     * Estimator error is the standard ~1/√sampled; the EXACT sampled/closed
     * counts are what the oracle gates.
     */
-  def sampledCount(edges: DataFrame, rate: Int): DataFrame = {
+  def sampledCount(edges: DataFrame, rate: Int,
+                   canonicalInput: Boolean = false): DataFrame = {
     require(rate >= 1, s"rate must be >= 1, got $rate")
-    val e = orientedByDegree(edges)
+    val e = orientedByDegree(edges, canonicalInput)
     val e1 = e.select(col("src").as("a"), col("dst").as("b"))
     val e2 = e.select(col("src").as("b"), col("dst").as("c"))
     val wedges = e1.join(e2.hint("shuffle_hash"), "b").select("a", "b", "c")
@@ -331,13 +340,13 @@ object TriangleCount {
     * closing join) with three codegen'd sign expressions over the corner
     * ids — no extra shuffle beyond the triangle enumeration itself.
     */
-  def signedBalance(edges: DataFrame): DataFrame = {
+  def signedBalance(edges: DataFrame, canonicalInput: Boolean = false): DataFrame = {
     // sign each edge ONCE (|E| hashes) and carry the bit through the
     // enumeration joins, instead of recomputing 3 md5s per TRIANGLE. At
     // sf0.1 the wedge join dominates either way (A/B medians 24.5 vs 26,
     // inside noise — BASELINE.md wave 24); the per-edge spelling is kept
     // because triangles ≫ edges is exactly the skew that grows at 100×.
-    val e = orientedByDegree(edges)
+    val e = orientedByDegree(edges, canonicalInput)
       .withColumn("s", GraphOps.md5Prio(concat_ws(":",
         least(col("src"), col("dst")),
         greatest(col("src"), col("dst")))) % 2)
