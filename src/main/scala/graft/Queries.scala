@@ -409,7 +409,10 @@ object Queries {
       val cp = TestGraphs.copurchase(s, dir).select("src", "dst")
       val inDelta =
         GraphOps.md5Prio(concat_ws(":", col("src"), col("dst"))) % 50 === 0
-      val base = ConnectedComponents.run(s, cp.where(!inDelta), cfg(s)).state
+      // base edges are a subset of the oriented-unique derivation output —
+      // the symmetrizing dedup would be a no-op over 2.3M rows (r6)
+      val base = ConnectedComponents.run(s, cp.where(!inDelta), cfg(s),
+        orientedInput = true).state
       ConnectedComponents.incremental(s, base, cp.where(inDelta), cfg(s))
         .orderBy("id")
     }),

@@ -32,10 +32,23 @@ object ConnectedComponents {
 
   /** Exact components to fixpoint. Input edges may be directed — they are
     * symmetrized here. Output: (id, component).
+    *
+    * `orientedInput = true` asserts the edges are a unique oriented
+    * (src < dst) simple set (e.g. a co-purchase-derivation subset), so the
+    * symmetrizing union needs no dedup shuffle; `symmetricInput = true`
+    * asserts both directions are already present and symmetrize is skipped
+    * outright. Both flags only remove provably no-op work — the HashMin
+    * fixpoint is identical (r6, guide §2.1).
     */
   def run(spark: SparkSession, edges: DataFrame, cfg: SuperstepConfig,
-          resume: Boolean = false): SuperstepResult = {
-    val und = GraphOps.symmetrize(edges)
+          resume: Boolean = false, orientedInput: Boolean = false,
+          symmetricInput: Boolean = false): SuperstepResult = {
+    require(!(orientedInput && symmetricInput),
+      "edges cannot be both oriented and symmetric")
+    val und =
+      if (symmetricInput) edges.select("src", "dst")
+      else if (orientedInput) GraphOps.symmetrizeOriented(edges)
+      else GraphOps.symmetrize(edges)
     val verts = GraphOps.vertices(und)
     val r = Superstep.run(spark, und, verts, CcProgram,
       cfg.copy(tol = 0.0), resume)
@@ -199,7 +212,9 @@ object ConnectedComponents {
     val e = e0
       .join(hubs.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
       .join(hubs.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
-    val comp = run(spark, e, cfg).state
+    // removal is endpoint-symmetric, so the surviving edge set is still
+    // symmetric — re-symmetrizing would double then dedup 4.8M rows (r6)
+    val comp = run(spark, e, cfg, symmetricInput = true).state
     comp.groupBy("component").agg(count(lit(1)).as("sz"))
       .agg(count(lit(1)).cast("long").as("n_components"),
         max("sz").cast("long").as("max_comp"),
