@@ -1301,8 +1301,11 @@ object Queries {
     // aggregate super-edge weights (diagonal = 2× intra mass) -------------
     "louvain_coarsen" -> ((s, dir) => {
       val cp = TestGraphs.copurchase(s, dir)
+      // lazy cut shared by the move rounds AND the coarsen joins — coarsen
+      // otherwise replayed the whole co-purchase derivation plan (r6)
       val ew = cp.unionByName(cp.select(col("dst").as("src"),
         col("src").as("dst"), col("weight")))
+        .transform(graft.engine.Lineage.cut(_))
       val labels = graft.algos.Louvain.rounds(ew, 4)
       graft.algos.Louvain.coarsen(ew, labels)
         .orderBy("comm_src", "comm_dst")
