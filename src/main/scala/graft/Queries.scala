@@ -123,7 +123,7 @@ object Queries {
       val we = cp.select(col("src"), col("dst"), col("weight"))
         .unionByName(cp.select(col("dst").as("src"), col("src").as("dst"),
           col("weight")))
-        .transform(graft.engine.Lineage.cut(_, eager = true))
+        .transform(graft.engine.Lineage.cut(_)) // lazy (bfs5 r6 note)
       PageRank.weightedFixedIterations(we, 5)
         .select(col("id"), round(col("rank"), 6).as("pr"))
         .where(col("pr").isNotNull)
@@ -297,7 +297,7 @@ object Queries {
     // --- PageRank on the bipartite repo→file analog (sources + sinks) ----
     "pr5_bipartite" -> ((s, dir) =>
       PageRank.fixedIterations(TestGraphs.custPart(s, dir)
-          .transform(graft.engine.Lineage.cut(_, eager = true)), 5)
+          .transform(graft.engine.Lineage.cut(_)), 5) // lazy (r6)
         .select(col("id"), round(col("rank"), 6).as("pr"))
         .where(col("pr").isNotNull)
         .orderBy("id")),
@@ -458,9 +458,10 @@ object Queries {
     // the integral co-purchase weights; same equal-k parity argument)
     "diameter_w2sweep" -> ((s, dir) => {
       val cp = TestGraphs.copurchase(s, dir)
+      // no query-level checkpoint: doubleSweepDiameter cuts its input once
+      // and derives root/far from that cache (the eager copy was redundant)
       val ew = cp.select(col("src"), col("dst"), col("weight"))
         .union(cp.select(col("dst"), col("src"), col("weight")))
-        .localCheckpoint(true)
       Paths.doubleSweepDiameter(ew, 8, weighted = true).orderBy("root")
     }),
 
@@ -512,9 +513,10 @@ object Queries {
 
     // --- BFS / SSSP (A5): 5 unrolled min-plus rounds ----------------------
     "bfs5" -> ((s, dir) => {
-      // materialized once: rounds and the source agg reuse cached blocks
-      // instead of re-running the co-purchase derivation k+1 times
-      val e = und(s, dir).localCheckpoint(true)
+      // LAZY shared cut: fixedRounds' own eager cut materializes the und
+      // cache in the same job, and the source agg reuses it — the query-
+      // level eager checkpoint was a second cache copy + extra action (r6)
+      val e = und(s, dir).transform(graft.engine.Lineage.cut(_))
       Paths.fixedRounds(e, e.agg(min(col("src"))), 5, weighted = false)
         .where(col("dist").isNotNull).orderBy("id")
     }),
@@ -1388,7 +1390,7 @@ object Queries {
     // --- shortest-path σ counts within 4 hops of the min-id source (the
     // Brandes forward phase as its own operator); exact BIGINT counts ----
     "sigma4" -> ((s, dir) => {
-      val e = und(s, dir).localCheckpoint(true)
+      val e = und(s, dir).transform(graft.engine.Lineage.cut(_)) // lazy shared cut (the bfs5 r6 note)
       Paths.sigmaCounts(e, e.agg(min(col("src"))), 4).orderBy("id")
     }),
 
@@ -2225,7 +2227,7 @@ object Queries {
           col("weight").cast("double").as("weight"))
         .union(cp.select(col("dst"), col("src"),
           col("weight").cast("double")))
-        .localCheckpoint(true)
+        .transform(graft.engine.Lineage.cut(_)) // lazy shared cut (the bfs5 r6 note)
       Paths.deltaStepping(s, ew, ew.select(col("src")).agg(min(col("src"))),
         delta = 2.0,
         numPartitions =
@@ -2239,7 +2241,7 @@ object Queries {
           col("weight").cast("double").as("weight"))
         .union(cp.select(col("dst"), col("src"),
           col("weight").cast("double")))
-        .localCheckpoint(true)
+        .transform(graft.engine.Lineage.cut(_)) // lazy shared cut (the bfs5 r6 note)
       // min-src source folded into the engine's init state (lazy one-row
       // agg, broadcast cross-join) — no eager .head() in the builder
       Paths.ssspFrom(s, ew, ew.agg(min(col("src"))),
