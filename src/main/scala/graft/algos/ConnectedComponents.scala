@@ -77,14 +77,19 @@ object ConnectedComponents {
     */
   def stars(spark: SparkSession, edges: DataFrame, numPartitions: Int = 32,
             maxRounds: Int = 200): (DataFrame, Int) = {
+    // LAZY cuts + one fused prep action (r6): verts is only read by the
+    // caller's final action; the initial signature aggregate materializes
+    // the edge cache AND yields the row count the adaptive clamp needs, so
+    // the old verts-cut / edge-cut / count / isEmpty prep (4 driver
+    // round-trips, paid per stream_cc micro-batch fold) collapses to one.
+    // The up-front repartition is dropped too: every round's aggregates
+    // re-shuffle to the loop layout anyway, and min/xor-signature results
+    // are partition-count-invariant.
     val verts = GraphOps.vertices(edges.select("src", "dst"))
-      .transform(Lineage.cut(_, eager = true))
+      .transform(Lineage.cut(_))
     var e = edges.select("src", "dst").where(col("src") =!= col("dst"))
       .distinct()
-      .repartition(numPartitions, col("src"))
-      .transform(Lineage.cut(_, eager = true))
-    val nEff = Lineage.adaptiveParallelism(e.count(), numPartitions)
-    Lineage.withLoopConf(spark, nEff) {
+      .transform(Lineage.cut(_))
 
     def nbrs(ed: DataFrame): DataFrame =
       ed.select(col("src").as("u"), col("dst").as("v"))
@@ -121,9 +126,11 @@ object ConnectedComponents {
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
 
-    var s = sig(e)
+    var s = sig(e) // ONE prep action: materializes e, counts it, empty-checks
+    val nEff = Lineage.adaptiveParallelism(s._1, numPartitions)
+    Lineage.withLoopConf(spark, nEff) {
     var rounds = 0
-    var done = e.isEmpty
+    var done = s._1 == 0L
     while (rounds < maxRounds && !done) {
       val next = smallStar(largeStar(e))
         .repartition(nEff, col("src"))
