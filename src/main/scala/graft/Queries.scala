@@ -384,7 +384,10 @@ object Queries {
     "cc" -> ((s, dir) => {
       val cpf = TestGraphs.copurchase(s, dir)
         .where(col("weight") >= 2).select("src", "dst")
-      ConnectedComponents.run(s, cpf, cfg(s)).state.orderBy("id")
+      // batchSize=4 (r6): convergence checked every 4 supersteps — extra
+      // post-fixpoint supersteps are no-ops (empty frontier), state identical
+      ConnectedComponents.run(s, cpf, cfg(s).copy(batchSize = 4))
+        .state.orderBy("id")
     }),
 
     // --- CC via large-star/small-star contraction (Kiveris et al.): the
@@ -411,8 +414,8 @@ object Queries {
         GraphOps.md5Prio(concat_ws(":", col("src"), col("dst"))) % 50 === 0
       // base edges are a subset of the oriented-unique derivation output —
       // the symmetrizing dedup would be a no-op over 2.3M rows (r6)
-      val base = ConnectedComponents.run(s, cp.where(!inDelta), cfg(s),
-        orientedInput = true).state
+      val base = ConnectedComponents.run(s, cp.where(!inDelta),
+        cfg(s).copy(batchSize = 4), orientedInput = true).state
       ConnectedComponents.incremental(s, base, cp.where(inDelta), cfg(s))
         .orderBy("id")
     }),
@@ -422,7 +425,7 @@ object Queries {
     "comp_sizes" -> ((s, dir) => {
       val cpf = TestGraphs.copurchase(s, dir)
         .where(col("weight") >= 2).select("src", "dst")
-      ConnectedComponents.run(s, cpf, cfg(s)).state
+      ConnectedComponents.run(s, cpf, cfg(s).copy(batchSize = 4)).state
         .groupBy("component").agg(count(lit(1)).as("csize"))
         .groupBy("csize").agg(count(lit(1)).as("n_comps"))
         .orderBy("csize")
@@ -1269,7 +1272,8 @@ object Queries {
     "cc_grid" -> ((s, dir) => {
       val cpf = TestGraphs.copurchase(s, dir)
         .where(col("weight") >= 2).select("src", "dst")
-      ConnectedComponents.run(s, cpf, cfg(s).copy(gridSide = Some(4)))
+      ConnectedComponents.run(s, cpf,
+          cfg(s).copy(gridSide = Some(4), batchSize = 4))
         .state.orderBy("id")
     }),
 
@@ -1283,7 +1287,8 @@ object Queries {
     // (deterministic (deg desc, id) tie-break), re-run CC over the
     // remainder, report component census ---------------------------------
     "hub_attack" -> ((s, dir) =>
-      ConnectedComponents.hubAttackCensus(s, undM(s, dir), 50, cfg(s))),
+      ConnectedComponents.hubAttackCensus(s, undM(s, dir), 50,
+        cfg(s).copy(batchSize = 4))),
 
     // --- wedge-sampling triangle estimate, md5-deterministic 1/16 sample:
     // the sampled/closed counts are exact (the oracle gate), the estimator
@@ -2245,7 +2250,7 @@ object Queries {
       // min-src source folded into the engine's init state (lazy one-row
       // agg, broadcast cross-join) — no eager .head() in the builder
       Paths.ssspFrom(s, ew, ew.agg(min(col("src"))),
-        cfg(s).copy(maxIter = 50))
+        cfg(s).copy(maxIter = 50, batchSize = 4))
         .state.where(col("dist").isNotNull).orderBy("id")
     }),
 

@@ -227,14 +227,18 @@ object Superstep {
     var lastDurable = startStep - 1
     var frontierSize = state.where(col("changed")).count()
 
-    // Batching only pays on the shuffle layouts (grid/salt): a batch is one
-    // job whose k supersteps are 2k pipelined shuffle stages with no driver
-    // round-trip between them. On the broadcast (dst) layout each
-    // superstep's frontier broadcast is a driver-side materialization
-    // anyway, and composing them lazily would re-execute the build subtree
-    // per step — so dst runs one superstep per action regardless.
-    val effectiveBatch =
-      if (gridMode || saltMode) math.max(1, cfg.batchSize) else 1
+    // Batching: a batch is one job whose k supersteps are pipelined stages
+    // with no driver round-trip between them. On the shuffle layouts
+    // (grid/salt) that is 2k shuffle stages per job. On the broadcast (dst)
+    // layout each superstep's frontier broadcast still materializes its
+    // input as a build job — but with the per-superstep lazy cuts (r6) the
+    // build reads the PREVIOUS superstep's cached RDD instead of
+    // re-executing its subtree, so batching now saves the per-superstep
+    // metrics action + convergence round-trip there too. Convergence is
+    // checked at batch boundaries; supersteps past a fixpoint are no-ops
+    // (empty frontier for non-stationary programs, residual-stable state
+    // for stationary ones), so results are unchanged at any batch size.
+    val effectiveBatch = math.max(1, cfg.batchSize)
 
     // One lazily-composed superstep: current state → next state.
     def superstep(cur: DataFrame): DataFrame = {
