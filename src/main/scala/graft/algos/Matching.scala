@@ -65,6 +65,9 @@ object Matching {
         col("weight").cast("long").as("weight"))
       .where(col("src") < col("dst"))
       .groupBy("src", "dst").agg(max(col("weight")).as("weight"))
+      // lazy shared cut (r6): the wMax guard otherwise re-ran the whole
+      // upstream derivation a second time when the loop materialized
+      .transform(graft.engine.Lineage.cut(_))
     val wMax = canon.agg(max(col("weight"))).head().getLong(0)
     if (wMax >= (1L << 23))
       throw new IllegalArgumentException(

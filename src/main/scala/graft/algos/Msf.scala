@@ -62,6 +62,9 @@ object Msf {
         col("weight").cast("long").as("weight"))
       .where(col("src") < col("dst"))
       .groupBy("src", "dst").agg(min(col("weight")).as("weight"))
+      // lazy shared cut (r6): the wMax guard below otherwise re-ran the
+      // whole canonicalization a second time when ce materialized
+      .transform(Lineage.cut(_))
     val wMax = Option(canon.agg(max(col("weight"))).head().get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
     if (wMax >= (1L << 23))
