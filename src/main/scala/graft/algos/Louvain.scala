@@ -60,10 +60,13 @@ object Louvain {
           (col("m2") * col("kin") - col("k") *
             (col("sig") - when(col("comm") === col("cur"), col("k"))
               .otherwise(lit(0L)))).as("g"))
-      val best = score.groupBy(col("id").as("bid")).agg(max("g").as("bg"))
-      val next = score.join(best,
-          score("id") === col("bid") && score("g") === col("bg"))
-        .groupBy(score("id").as("id")).agg(min("comm").as("comm"))
+      // single-pass argmax (r6): max_by over (g, -comm) ≡ the old two-phase
+      // max-g-then-min-comm (ties on g are broken by the larger -comm =
+      // smaller comm) — one aggregate instead of agg + join + agg per
+      // round, the LabelPropagation mode-vote spelling
+      val next = score.groupBy(col("id"))
+        .agg(max_by(col("comm"),
+          struct(col("g"), (-col("comm")).as("nc"))).as("comm"))
       c = Lineage.cut(next)
     }
     c
